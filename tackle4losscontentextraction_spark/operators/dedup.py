@@ -1,0 +1,239 @@
+"""Deduplication operators over a documents table — the training-data
+pipeline extensions (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale notes (the whole point of each design):
+
+- exact        : one hash-aggregate on a digest — map-side partial agg,
+                 single shuffle on a 32-hex key, no skew (digests are
+                 uniform).
+- minhash LSH  : docs never self-join directly. shingle -> k md5-min
+                 signatures (per-row, higher-order functions only) ->
+                 band keys -> shuffle on band key -> pairs emerge only
+                 within buckets. Candidate pairs are then verified with
+                 exact Jaccard. At 100 TB the band-key shuffle is the
+                 only wide op and its cardinality is O(docs x bands),
+                 not O(docs^2).
+- simhash      : 16-bit signature from per-token md5 nibble parity;
+                 near-dup = equal signature (Hamming-0 bucket join) —
+                 one shuffle on a 16-bit key; optional 1-bit rotations
+                 for Hamming-1.
+- ngram jaccard: exact pairwise within shingle-share buckets (posting-
+                 list join), not a cross join.
+- embedding    : cosine > threshold via LSH-free blocked self-join for
+                 small N; at scale use similarity.ann_lsh instead.
+
+MinHash uses md5-hex-string minima as the permutation surrogate: for a
+uniform hash h, argmin over shingles of h(shingle||seed) is a valid
+min-wise permutation sample; md5 is available and bit-identical in
+Spark, DuckDB and Python, which makes the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized, lowercased text."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    sh = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.when(k > 0, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (lowercased, ws-normalized) texts.
+
+    Returns (dup_key, n_docs, keeper) with keeper = min(id) per group —
+    the canonical survivor. Single hash-agg; digests shuffle uniformly.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """array<string> of per-seed minima of md5(shingle || '#' || seed).
+
+    Entirely per-row (no shuffle); empty-shingle docs get NULL entries.
+    """
+    shingles = word_shingles(text, shingle_n)
+    return F.array(*[
+        F.array_min(F.transform(shingles, lambda s, seed=seed: F.md5(F.concat(s, F.lit("#%d" % seed)))))
+        for seed in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, band) via banded minhash.
+
+    Docs sharing any full band of the signature collide in a bucket; the
+    only shuffle is groupBy(band_key). Distinct pairs are returned for
+    downstream exact-Jaccard verification.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    with_sig = docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig")).where(
+        ~F.exists(F.col("sig"), lambda x: x.isNull())
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = with_sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    other = banded.select(F.col("doc_id").alias("doc_id_b"), "band", "key")
+    pairs = (
+        banded.join(other, ["band", "key"])
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .select(F.col("doc_id").alias("id_a"), F.col("doc_id_b").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs that share >= 1 shingle.
+
+    posting-list self-join: explode shingles, join on shingle, count
+    intersections, then |A∪B| = |A|+|B|-|A∩B|. Never materializes the
+    full cross product — only co-occurring pairs.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    posting = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    other = posting.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_sh_b"), "shingle"
+    )
+    inter = (
+        posting.join(other, "shingle")
+        .where(F.col("doc_id") < F.col("doc_id_b"))
+        .groupBy("doc_id", "doc_id_b", "n_sh", "n_sh_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_sh") + F.col("n_sh_b") - F.col("n_inter"))
+    return (
+        inter.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash from per-token md5 nibble parity.
+
+    bit_j = majority over tokens of (low bit of hex nibble j of
+    md5(token)). Bit-identical in DuckDB/Python (md5 + substring + mod).
+    """
+    tokens = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: F.md5(t))
+
+    def bit_sum(j: int) -> Column:
+        # '0123456789abcdef' position of nibble j, low bit -> +-1 votes
+        nib = F.transform(
+            hashes,
+            lambda h: (F.instr(F.lit("0123456789abcdef"), F.substring(h, j + 1, 1)) - 1) % 2,
+        )
+        return F.aggregate(nib, F.lit(0), lambda a, x: a + (x * 2 - 1))
+
+    return sum(
+        (F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)),
+        F.lit(0),
+    ).cast("int")
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Docs bucketed by identical 16-bit simhash (Hamming-0 near-dups)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (exact, small/medium N; use ANN at scale)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs with cosine >= threshold via normalized dot on a self-join.
+
+    Pre-normalizes once (per-row), then joins on a coarse length-bucket
+    block key is unnecessary at test scale — plain self cross within
+    broadcast range. At 100 TB scale use similarity.ann_lsh candidates
+    + this verifier.
+    """
+    from ..functions import vectors as vec_fn
+
+    normed = vectors.select(
+        F.col(id_col).alias("vid"),
+        vec_fn.l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
+    )
+    other = normed.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+    sim = vec_fn.dot(F.col("v"), F.col("v_b"))
+    return (
+        normed.crossJoin(other)
+        .where(F.col("vid") < F.col("vid_b"))
+        .select(
+            F.col("vid").alias("id_a"),
+            F.col("vid_b").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
