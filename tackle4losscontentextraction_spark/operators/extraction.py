@@ -103,6 +103,21 @@ def _count_kind(kept: Column, kind: str) -> Column:
 
 def extract(docs: DataFrame, date_formats: list[str] | None = None) -> DataFrame:
     """docs -> extracted (see module docstring). Shuffle-free."""
+    # NULL spans arrays and NULL span texts must not poison downstream
+    # NULL-propagation (exists/aggregate over NULL -> NULL): normalize once.
+    spans_schema = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = docs.withColumn(
+        "spans",
+        F.transform(
+            F.coalesce(F.col("spans"), F.array().cast(spans_schema)),
+            lambda s: F.struct(
+                F.coalesce(s["kind"], F.lit("")).alias("kind"),
+                F.coalesce(s["text"], F.lit("")).alias("text"),
+                F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ),
+    )
     enriched = F.transform(F.col("spans"), _enrich)
     kept = F.filter(enriched, lambda s: s["keep"] != "drop")
 
