@@ -1,0 +1,147 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": docs_per_sec, "unit": "sec"?, "queries": {...}, "sf": ...}
+
+`--scaling` mode: run the identical extraction job at local[8] and
+local[32] over the same synthesized corpus (spawned as subprocesses so
+each gets a fresh JVM with its own core count) and report throughputs
++ scaling efficiency — the sandbox evidence for the north rule's
+N -> 4N criterion. Results also written to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline queries timed in the default bench (a representative mix:
+# the flagship extraction ops + the heavier shuffling operators)
+HEADLINE = [
+    "extract_spans", "extract_meta", "extract_metrics",
+    "pricing_summary", "topk_per_group", "dedup_minhash",
+    "dedup_jaccard", "ann_topk", "text_stats", "events_sessions",
+]
+
+
+def _count_rows(df) -> int:
+    # count() forces full execution but lets Catalyst skip column
+    # materialization; for extraction queries we want the real payload
+    # computed, so aggregate over a payload-dependent expression instead.
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    probe = [c for c in ("text", "cleaned", "title", "fingerprint") if c in cols]
+    if probe:
+        return df.agg(
+            F.count("*").alias("n"), F.sum(F.length(probe[0])).alias("_force")
+        ).collect()[0].n
+    return df.count()
+
+
+def run_bench() -> None:
+    from tackle4losscontentextraction_spark.plans.queries import SPARK_QUERIES
+    from tackle4losscontentextraction_spark.session import get_spark
+
+    spark = get_spark(app_name="t4l-bench", cores=CPUS, shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/IO once (scan both hot tables)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        n = _count_rows(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "extract_meta":
+            n_docs = n
+
+    # throughput metric: docs/sec of the flagship extraction pass
+    extract_sec = timings["extract_meta"]
+    docs_per_sec = round(n_docs / extract_sec, 1) if extract_sec > 0 else 0.0
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "documents/sec extraction throughput (extract_meta over synth span corpus)",
+        "value": docs_per_sec,
+        "unit": "docs/sec",
+        "queries": timings,
+        "total_sec": total,
+        "n_docs": n_docs,
+        "sf": float(sf),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+def run_one_scale(cores: int, n_docs: int) -> dict:
+    """Child process entry: time the extraction job at a parallelism."""
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.operators import extraction
+    from tackle4losscontentextraction_spark.session import get_spark
+    from tackle4losscontentextraction_spark.sources import synth
+
+    spark = get_spark(app_name=f"t4l-scale-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    # fixed work, partition count sized so 4x cores has 4x schedulable tasks
+    docs = synth.synth_docs(spark, n_docs, partitions=128).cache()
+    docs.count()  # materialize input outside the timed region
+    t0 = time.perf_counter()
+    out = extraction.extract(docs)
+    n = out.agg(F.count("*").alias("n"), F.sum("content_chars").alias("_force")).collect()[0].n
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cores": cores, "n_docs": n, "sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1)}
+
+
+def run_scaling(n_docs: int = 200_000) -> None:
+    results = []
+    for cores in (8, 32):
+        r = subprocess.run(
+            [sys.executable, __file__, "--one-scale", str(cores), str(n_docs)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    t8, t32 = results[0], results[1]
+    eff = round(t32["docs_per_sec"] / (4 * t8["docs_per_sec"]), 3)
+    report = {
+        "metric": "scaling efficiency local[8] -> local[32] (fixed work)",
+        "n_docs": n_docs,
+        "local8": t8,
+        "local32": t32,
+        "efficiency": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--one-scale":
+        print(json.dumps(run_one_scale(int(sys.argv[2]), int(sys.argv[3]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        run_scaling(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
+    else:
+        run_bench()

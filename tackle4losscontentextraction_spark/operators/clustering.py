@@ -1,0 +1,179 @@
+"""Clustering stage rebuilt as batch dataflow.
+
+Reference (src/modules/clustering/cluster_articles.py:38-142 +
+cluster_manager.py): greedy sequential assignment of each unclustered
+article to the best cosine-matching cluster (> 0.82), running-mean
+centroid updates, pairwise cluster merging (> 0.9, <= 10 passes),
+member-count recount.
+
+The reference's assignment is order-dependent (each assignment mutates
+the centroids seen by later articles — SURVEY §3.3). The faithful batch
+rendition here:
+
+- :func:`assign_to_clusters` — one pass: every vector scored against
+  the CURRENT (broadcast) centroid set; argmax > threshold assigned.
+  This is the reference semantics with centroids frozen per pass.
+- :func:`update_centroids` — batch running-mean: new centroid =
+  (old*n + sum(assigned)) / (n + k)  — the k-step composition of the
+  reference's per-row update (cluster_manager.py:81), exact for the
+  same membership set.
+- :func:`merge_clusters_fixpoint` — repeated best-pair merging above
+  the merge threshold with the reference's weighted mean
+  (cluster_manager.py:239-241), driver-iterated <= max_passes (:128).
+- :func:`recount_members` — the count fixer
+  (sql/recalculate_all_cluster_member_counts.sql): recount, delete
+  0/1-member clusters, unassign their members.
+
+Scale: centroids are O(clusters) — broadcast; vectors never shuffle
+for scoring (map-side broadcast join + window over doc only when
+ranking; the rank is per-vector so AQE handles skew)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vectors as vec_fn
+
+ASSIGN_THRESHOLD = 0.82  # cluster_manager.py:41
+MERGE_THRESHOLD = 0.9    # cluster_pipeline.py:62
+MAX_MERGE_PASSES = 10    # cluster_articles.py:128-130
+
+
+def assign_to_clusters(
+    vectors: DataFrame,
+    clusters: DataFrame,
+    threshold: float = ASSIGN_THRESHOLD,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id, cosine) for vectors whose best centroid
+    clears the threshold. clusters: (cluster_id, centroid, member_count).
+    """
+    sim = vec_fn.cosine_similarity(
+        F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")
+    )
+    w = Window.partitionBy(vec_id).orderBy(F.desc("cos_raw"), F.asc("cluster_id"))
+    return (
+        vectors.crossJoin(F.broadcast(clusters.select("cluster_id", "centroid")))
+        .withColumn("cos_raw", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .where((F.col("rk") == 1) & (F.col("cos_raw") > threshold))
+        .select(vec_id, "cluster_id", F.col("cos_raw").alias("cosine"))
+    )
+
+
+def update_centroids(
+    clusters: DataFrame, vectors: DataFrame, assignments: DataFrame,
+    vec_id: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch running-mean update: (old*n + sum(new members)) / (n + k)."""
+    joined = assignments.join(vectors, vec_id).select(
+        "cluster_id", F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sums = (
+        joined.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("k"))
+        .groupBy("cluster_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]).alias("vsum"),
+            F.first("k").alias("k"),
+        )
+    )
+    return (
+        clusters.join(sums, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.when(
+                F.col("vsum").isNotNull(),
+                F.zip_with(
+                    F.col("centroid").cast("array<double>"), F.col("vsum"),
+                    lambda c, s: (c * F.col("member_count") + s) / (F.col("member_count") + F.col("k")),
+                ),
+            ).otherwise(F.col("centroid").cast("array<double>")).alias("centroid"),
+            (F.col("member_count") + F.coalesce(F.col("k"), F.lit(0))).alias("member_count"),
+        )
+    )
+
+
+def new_clusters_from_pairs(
+    pending: DataFrame, threshold: float = ASSIGN_THRESHOLD,
+    vec_id: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """J4 analog: best pending-x-pending pair above threshold seeds a
+    2-member cluster (centroid = pair mean). Greedy matching done as:
+    rank pairs globally by similarity, keep pairs whose both members
+    are not claimed by a better pair (one matching pass)."""
+    v = pending.select(F.col(vec_id).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+    o = v.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+    sim = vec_fn.cosine_similarity(F.col("v"), F.col("v_b"))
+    pairs = (
+        v.crossJoin(o)
+        .where(F.col("vid") < F.col("vid_b"))
+        .withColumn("cos_raw", sim)
+        .where(F.col("cos_raw") > threshold)
+    )
+    wa = Window.partitionBy("vid").orderBy(F.desc("cos_raw"), F.asc("vid_b"))
+    wb = Window.partitionBy("vid_b").orderBy(F.desc("cos_raw"), F.asc("vid"))
+    best = (
+        pairs.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rb", F.row_number().over(wb))
+        .where((F.col("ra") == 1) & (F.col("rb") == 1))
+    )
+    return best.select(
+        F.concat(F.lit("c_"), F.col("vid").cast("string"), F.lit("_"), F.col("vid_b").cast("string")).alias("cluster_id"),
+        F.zip_with("v", "v_b", lambda a, b: (a + b) / 2).alias("centroid"),
+        F.lit(2).alias("member_count"),
+        F.col("vid").alias("member_a"),
+        F.col("vid_b").alias("member_b"),
+    )
+
+
+def merge_clusters_fixpoint(
+    clusters: DataFrame, threshold: float = MERGE_THRESHOLD, max_passes: int = MAX_MERGE_PASSES
+) -> DataFrame:
+    """Driver-iterated pairwise merging (weighted mean), <= max_passes.
+
+    Each pass merges disjoint best pairs above threshold; the centroid
+    set shrinks geometrically so the loop is short. Working sets are
+    cluster-sized (small) — collected state is bounded."""
+    cur = clusters.select("cluster_id", F.col("centroid").cast("array<double>").alias("centroid"), "member_count")
+    for _ in range(max_passes):
+        a = cur.select(F.col("cluster_id").alias("ca"), F.col("centroid").alias("va"), F.col("member_count").alias("na"))
+        b = cur.select(F.col("cluster_id").alias("cb"), F.col("centroid").alias("vb"), F.col("member_count").alias("nb"))
+        sim = vec_fn.cosine_similarity(F.col("va"), F.col("vb"))
+        pairs = a.crossJoin(b).where(F.col("ca") < F.col("cb")).withColumn("s", sim).where(F.col("s") > threshold)
+        wa = Window.partitionBy("ca").orderBy(F.desc("s"), F.asc("cb"))
+        wb = Window.partitionBy("cb").orderBy(F.desc("s"), F.asc("ca"))
+        chosen = (
+            pairs.withColumn("ra", F.row_number().over(wa))
+            .withColumn("rb", F.row_number().over(wb))
+            .where((F.col("ra") == 1) & (F.col("rb") == 1))
+        )
+        if chosen.isEmpty():
+            break
+        merged = chosen.select(
+            F.col("ca").alias("cluster_id"),
+            F.zip_with("va", "vb", lambda x, y: (x * F.col("na") + y * F.col("nb")) / (F.col("na") + F.col("nb"))).alias("centroid"),
+            (F.col("na") + F.col("nb")).alias("member_count"),
+        )
+        absorbed = chosen.select(F.col("ca").alias("cluster_id")).union(
+            chosen.select(F.col("cb").alias("cluster_id"))
+        )
+        survivors = cur.join(absorbed, "cluster_id", "left_anti")
+        cur = survivors.unionByName(merged)
+    return cur
+
+
+def recount_members(clusters: DataFrame, memberships: DataFrame) -> DataFrame:
+    """The count fixer: true counts per cluster; 0/1-member clusters are
+    dropped (their members to be unassigned by the caller)."""
+    counts = memberships.groupBy("cluster_id").agg(F.count("*").alias("true_count"))
+    return (
+        clusters.join(counts, "cluster_id", "left")
+        .withColumn("true_count", F.coalesce("true_count", F.lit(0)))
+        .where(F.col("true_count") >= 2)
+        .select("cluster_id", "centroid", F.col("true_count").alias("member_count"))
+    )

@@ -80,10 +80,16 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     Entirely per-row (no shuffle); empty-shingle docs get NULL entries.
     """
     shingles = word_shingles(text, shingle_n)
-    return F.array(*[
-        F.array_min(F.transform(shingles, lambda s, seed=seed: F.md5(F.concat(s, F.lit("#%d" % seed)))))
-        for seed in range(num_hashes)
-    ])
+
+    def _min_for(seed: int):
+        suffix = "#%d" % seed
+        # single-param lambda: a 2-param lambda would make Spark pass
+        # (element, index) and clobber the seed
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(s, F.lit(suffix))))
+        )
+
+    return F.array(*[_min_for(seed) for seed in range(num_hashes)])
 
 
 def minhash_lsh_candidates(

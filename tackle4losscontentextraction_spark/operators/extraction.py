@@ -101,8 +101,15 @@ def _count_kind(kept: Column, kind: str) -> Column:
     return F.size(F.filter(kept, lambda s: s["kind"] == kind))
 
 
-def extract(docs: DataFrame, date_formats: list[str] | None = None) -> DataFrame:
-    """docs -> extracted (see module docstring). Shuffle-free."""
+def extract(
+    docs: DataFrame,
+    date_formats: list[str] | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """docs -> extracted (see module docstring). Shuffle-free.
+
+    passthrough: extra input columns carried to the output unchanged
+    (e.g. an ingest timestamp in the streaming path)."""
     # NULL spans arrays and NULL span texts must not poison downstream
     # NULL-propagation (exists/aggregate over NULL -> NULL): normalize once.
     spans_schema = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
@@ -158,6 +165,7 @@ def extract(docs: DataFrame, date_formats: list[str] | None = None) -> DataFrame
 
     url_norm = url_fn.normalize_url(F.col("url"))
     out = docs.select(
+        *(passthrough or []),
         "doc_id",
         url_norm.alias("url_norm"),
         F.col("lang"),

@@ -1,0 +1,345 @@
+"""DuckDB oracle SQL for every query in ``queries.SPARK_QUERIES``.
+
+Dialect notes vs the Spark side: regexp_replace needs the 'g' flag and
+\\1 backreferences; list indexing is 1-based; `range(a,b)` unnested via
+LATERAL; md5/strftime/printf are bit-identical across engines. All
+floats rounded to the same precision as the Spark side.
+"""
+
+from __future__ import annotations
+
+from .. import oracles
+
+# single quote doubled for SQL-literal embedding
+_BPE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+".replace("'", "''")
+
+ORACLES: dict[str, str] = {
+    # -- extraction family (generated from spec constants) -----------------
+    "extract_spans": oracles.extract_spans(),
+    "extract_meta": oracles.extract_meta(),
+    "extract_media": oracles.extract_media(),
+    "extract_metrics": oracles.extract_metrics(),
+    "clean_text": oracles.clean_text_query(),
+    "url_normalize": oracles.url_normalize(),
+    # -- relational ---------------------------------------------------------
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "top_orders": """
+SELECT o_orderkey, o_custkey, o_orderdate::VARCHAR AS o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey ASC
+LIMIT 100
+""",
+    "doc_vec_join": """
+SELECT d.doc_id::BIGINT AS doc_id, d.lang, e.label::BIGINT AS label,
+       len(e.embedding)::BIGINT AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+    "member_recount": """
+SELECT c.c_custkey::BIGINT AS custkey,
+       coalesce(o.cnt, 0)::BIGINT AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+""",
+    "anti_join": """
+SELECT c_custkey::BIGINT AS custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= DATE '1997-06-01'
+)
+""",
+    "topk_per_group": """
+SELECT custkey, orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey::BIGINT AS custkey, o_orderkey::BIGINT AS orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)::BIGINT AS rk
+  FROM orders
+) WHERE rk <= 2
+""",
+    "broadcast_lookup": """
+SELECT r.r_name,
+       count(*)::BIGINT AS n_customers,
+       round(sum(c.c_acctbal), 2) AS sum_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+    "full_outer_counts": """
+SELECT coalesce(o.o_custkey, n.o_custkey)::BIGINT AS custkey,
+       coalesce(o.old_cnt, 0)::BIGINT AS old_cnt,
+       coalesce(n.new_cnt, 0)::BIGINT AS new_cnt
+FROM (SELECT o_custkey, count(*) AS old_cnt FROM orders WHERE o_orderdate < DATE '1995-01-01' GROUP BY o_custkey) o
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS new_cnt FROM orders WHERE o_orderdate >= DATE '1995-01-01' GROUP BY o_custkey) n
+  ON o.o_custkey = n.o_custkey
+""",
+    # -- dedup ----------------------------------------------------------------
+    "dedup_exact": """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS dup_key,
+       count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS keeper
+FROM documents
+GROUP BY 1
+""",
+    "dedup_minhash": """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)
+),
+mh AS (
+  SELECT doc_id, seed, min(md5(s || '#' || seed::VARCHAR)) AS m
+  FROM sh, LATERAL unnest(range(0, 16)) t2(seed)
+  GROUP BY doc_id, seed
+),
+sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b,
+         sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4] AS key
+  FROM sig, LATERAL unnest(range(0, 4)) t3(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id
+""",
+    "dedup_jaccard": """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+  FROM w, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+""",
+    "dedup_simhash": """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, t.tk FROM w, LATERAL unnest(ws) AS t(tk)),
+h AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+bits AS (
+  SELECT doc_id, j,
+         sum(2 * ((strpos('0123456789abcdef', substr(hx, j::INT + 1, 1)) - 1) % 2) - 1) AS vote
+  FROM h, LATERAL unnest(range(0, 16)) t(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+    "dedup_embedding": """
+WITH u AS (
+  SELECT vec_id::BIGINT AS vid,
+         CASE WHEN nv = 0 THEN v ELSE list_transform(v, x -> x / nv) END AS uv
+  FROM (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+  )
+)
+SELECT a.vid AS id_a, b.vid AS id_b,
+       round(list_sum(list_transform(range(1, len(a.uv) + 1), i -> a.uv[i] * b.uv[i])), 6) AS cosine
+FROM u a, u b
+WHERE a.vid < b.vid
+  AND round(list_sum(list_transform(range(1, len(a.uv) + 1), i -> a.uv[i] * b.uv[i])), 6) >= 0.30
+""",
+    # -- similarity -----------------------------------------------------------
+    "ann_topk": """
+WITH u AS (
+  SELECT vec_id::BIGINT AS vid,
+         CASE WHEN nv = 0 THEN v ELSE list_transform(v, x -> x / nv) END AS uv
+  FROM (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+  )
+),
+sims AS (
+  SELECT q.vid AS qid, c.vid AS neighbor,
+         list_sum(list_transform(range(1, len(q.uv) + 1), i -> q.uv[i] * c.uv[i])) AS cos_raw
+  FROM u q, u c
+  WHERE q.vid < 5 AND q.vid <> c.vid
+),
+ranked AS (
+  SELECT qid, neighbor, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, neighbor ASC)::BIGINT AS rk
+  FROM sims
+)
+SELECT qid, neighbor, round(cos_raw, 6) AS cosine, rk
+FROM ranked WHERE rk <= 10
+""",
+    "ann_lsh_buckets": """
+WITH b AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         ((CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END))::BIGINT AS bucket
+  FROM embeddings
+)
+SELECT bucket, count(*)::BIGINT AS n_vectors, min(vec_id)::BIGINT AS min_vec_id
+FROM b GROUP BY bucket
+""",
+    # -- text analysis ---------------------------------------------------------
+    "text_stats": f"""
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the', 'a', 'of', 'and'))) AS stop,
+         length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum
+  FROM documents
+)
+SELECT doc_id,
+       n_words::BIGINT AS n_words,
+       len(regexp_extract_all(text, '{_BPE}'))::BIGINT AS n_bpe_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS n_tokens_proxy,
+       round(stop::DOUBLE / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(alnum::DOUBLE / greatest(length(text), 1), 6) AS alnum_ratio,
+       CASE WHEN stop::DOUBLE / greatest(n_words, 1) > 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess,
+       substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 16) AS fingerprint
+FROM t
+""",
+    # -- vectors / clustering ---------------------------------------------------
+    "centroid_means": """
+SELECT label::BIGINT AS label, pos::BIGINT AS pos, round(avg(val), 6) AS centroid_val
+FROM (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS pos,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+    "cluster_assign": """
+WITH cents AS (
+  SELECT label::BIGINT AS label, list(cv ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS cv
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+v AS (SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+sims AS (
+  SELECT v.vec_id, c.label,
+         list_sum(list_transform(range(1, len(v.v) + 1), i -> v.v[i] * c.centroid[i]))
+           / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.centroid, x -> x * x)))) AS cos_raw
+  FROM v, cents c
+),
+ranked AS (
+  SELECT vec_id, label, cos_raw,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos_raw DESC, label ASC) AS rk
+  FROM sims
+)
+SELECT vec_id, label AS assigned_label, round(cos_raw, 6) AS cosine
+FROM ranked WHERE rk = 1 AND cos_raw > 0.2
+""",
+    "cluster_merge_pairs": """
+WITH cents AS (
+  SELECT label::BIGINT AS label, list(cv ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS cv
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         list_sum(list_transform(range(1, len(a.centroid) + 1), i -> a.centroid[i] * b.centroid[i]))
+           / (sqrt(list_sum(list_transform(a.centroid, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.centroid, x -> x * x)))) AS cos_raw
+  FROM cents a, cents b WHERE a.label < b.label
+)
+SELECT label_a, label_b, round(cos_raw, 6) AS cosine, cos_raw > 0.9 AS should_merge
+FROM p
+""",
+    "l2_normalize": """
+WITH u AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         CASE WHEN nv = 0 THEN v ELSE list_transform(v, x -> x / nv) END AS uv
+  FROM (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
+    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+  )
+)
+SELECT vec_id,
+       unnest(range(0, len(uv)))::BIGINT AS pos,
+       round(unnest(uv), 6) AS val
+FROM u
+""",
+    # -- events ---------------------------------------------------------------
+    "events_window": """
+SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "events_sessions": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM flagged
+)
+SELECT user_id::BIGINT AS user_id, sess_idx::BIGINT AS sess_idx,
+       count(*)::BIGINT AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+FROM sess GROUP BY user_id, sess_idx
+""",
+    "events_rates": """
+SELECT event_type, count(*)::BIGINT AS n,
+       round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS share,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY event_type
+""",
+    "confidence_clamp": """
+SELECT event_id::BIGINT AS event_id,
+       round(least(greatest(coalesce(value / 10 - 0.2, 0), 0), 1), 6) AS conf
+FROM events
+""",
+}

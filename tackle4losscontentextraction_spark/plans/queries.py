@@ -1,0 +1,526 @@
+"""The driver-facing query catalog: every implemented operator exposed
+as a (spark, sf_dir) -> DataFrame callable plus, where SQL-expressible,
+a DuckDB oracle (see ``oracles.py`` for the extraction family).
+
+Column names are aliased identically on both sides — the driver's
+compare sorts columns by name before hashing values. Floats are rounded
+(typically 6 dp) on BOTH sides so cross-engine summation-order noise
+cannot flip the hash; ints are cast to BIGINT to align schemas.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens as tok_fn
+from ..functions import vectors as vec_fn
+from ..operators import dedup as dedup_ops
+from ..operators import extraction
+from ..sources import synth
+
+Query = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return synth.docs_from_documents(_t(spark, sf_dir, "documents"))
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pin the date format list for oracle parity (time spans are always
+    # 'MMM d, yyyy' in the synthetic corpus)
+    return extraction.extract(_docs(spark, sf_dir), date_formats=["MMM d, yyyy"])
+
+
+# ---------------------------------------------------------------------------
+# extraction family (the flagship operators)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        "doc_id", F.explode("extracted").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").cast("bigint").alias("out_offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_extract_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        "doc_id", "title", "author", "publication_date",
+        F.date_format("cleaned_date", "yyyy-MM-dd HH:mm:ss").alias("pub_ts"),
+        "content_type",
+        F.col("type_confidence").cast("double").alias("type_confidence"),
+        "error",
+        F.col("spans_in").cast("bigint").alias("spans_in"),
+        F.col("spans_kept").cast("bigint").alias("spans_kept"),
+        F.col("content_chars").cast("bigint").alias("content_chars"),
+    )
+
+
+def q_extract_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return (
+        out.select("doc_id", F.explode("extracted").alias("s"))
+        .where(F.col("s.media_ref") != "")
+        .select("doc_id", F.col("s.kind").alias("kind"), F.col("s.media_ref").alias("media_ref"))
+    )
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _extracted(spark, sf_dir)
+    return out.groupBy("content_type").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("spans_in").cast("bigint").alias("spans_in"),
+        F.sum("spans_kept").cast("bigint").alias("spans_kept"),
+        F.sum("content_chars").cast("bigint").alias("content_chars"),
+        F.sum(F.when(F.col("error"), 1).otherwise(0)).cast("bigint").alias("n_errors"),
+    )
+
+
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import text as text_fn
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("bigint").alias("offset"),
+        text_fn.clean_text(F.col("s.text")).alias("cleaned"),
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import urls as url_fn
+
+    docs = _docs(spark, sf_dir)
+    un = url_fn.normalize_url(F.col("url"))
+    return docs.select(
+        "doc_id", un.alias("url_norm"), url_fn.is_roundup_url(un).alias("is_roundup")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operators over the TPC-H-ish tables (SURVEY §2.1-2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-style hash aggregate (scan S1 + agg A7): map-side partial agg,
+    one shuffle on a 6-value key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: ORDER BY date DESC LIMIT -> TakeOrderedAndProject (top-k, no
+    global sort materialization)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.col("o_orderdate").cast("string").alias("o_orderdate"), "o_totalprice")
+    )
+
+
+def q_doc_vec_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: article<->vector inner join (broadcast at these sizes)."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id, "inner").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("label").cast("bigint").alias("label"),
+        F.size("embedding").cast("bigint").alias("dim"),
+    )
+
+
+def q_member_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: member-count recount — counts per key joined back to the dim,
+    including zero-member keys (the reference's cluster-count fixer)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    counts = o.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return c.join(counts, c.c_custkey == counts.o_custkey, "left").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the resume primitive — rows not present in the 'done' set."""
+    c = _t(spark, sf_dir, "customer")
+    # "recent orders" as the done-set so the anti-join is selective
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= "1997-06-01")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("bigint").alias("custkey"), "c_name"
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: argmax per key via window rank (the cluster-argmax pattern)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("o_orderkey").cast("bigint").alias("orderkey"),
+            "o_totalprice",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+def q_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: dimension lookup — explicitly broadcast both small dims."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"))
+    )
+
+
+def q_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: old-vs-new count reconciliation via full outer join."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderdate") < "1995-01-01").groupBy("o_custkey").agg(F.count("*").alias("old_cnt"))
+    new = o.where(F.col("o_orderdate") >= "1995-01-01").groupBy("o_custkey").agg(F.count("*").alias("new_cnt"))
+    return old.join(new, "o_custkey", "full_outer").select(
+        F.col("o_custkey").cast("bigint").alias("custkey"),
+        F.coalesce("old_cnt", F.lit(0)).cast("bigint").alias("old_cnt"),
+        F.coalesce("new_cnt", F.lit(0)).cast("bigint").alias("new_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.exact_duplicates(d)
+    return out.select("dup_key", F.col("n_docs").cast("bigint").alias("n_docs"),
+                      F.col("keeper").cast("bigint").alias("keeper"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_lsh_candidates(d, num_hashes=16, bands=4, shingle_n=3)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"))
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = dedup_ops.jaccard_pairs(d, shingle_n=3, threshold=0.1)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        dedup_ops.simhash16(F.col("text")).cast("bigint").alias("simhash"),
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    out = dedup_ops.embedding_near_duplicates(e, threshold=0.30)
+    return out.select(F.col("id_a").cast("bigint").alias("id_a"),
+                      F.col("id_b").cast("bigint").alias("id_b"), "cosine")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the first 5 query vectors.
+
+    The baseline ANN path: normalize once, broadcast the (tiny) query
+    side, window-rank per query. At scale the candidate side is
+    pre-bucketed (q_ann_lsh)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    normed = e.select(
+        F.col("vec_id").cast("bigint").alias("vid"),
+        vec_fn.l2_normalize(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    q = normed.where(F.col("vid") < 5).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+    sim = vec_fn.dot(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vid"))
+    return (
+        F.broadcast(q).crossJoin(normed)
+        .where(F.col("qid") != F.col("vid"))
+        .withColumn("cos_raw", sim)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("qid", F.col("vid").alias("neighbor"),
+                F.round(F.col("cos_raw"), 6).alias("cosine"),
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketing: 4-bit key from the signs of fixed dims.
+
+    The scale path for ANN/near-dup: one shuffle on the bucket key;
+    buckets are the candidate sets."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    bits = sum(
+        (F.when(F.get(v, d) >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j, d in enumerate([0, 8, 16, 24])),
+        F.lit(0),
+    )
+    return (
+        e.select(F.col("vec_id").cast("bigint").alias("vec_id"), bits.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language heuristic + token counts in one pass."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    words = tok_fn.token_count_ws(t)
+    stop = F.size(F.filter(F.split(F.lower(t), r"\s+"), lambda x: x.isin("the", "a", "of", "and")))
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9]", ""))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        words.cast("bigint").alias("n_words"),
+        tok_fn.token_count_bpe_regex(t).cast("bigint").alias("n_bpe_tokens"),
+        tok_fn.token_count_proxy(t).cast("bigint").alias("n_tokens_proxy"),
+        F.round(stop.cast("double") / F.greatest(words, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(alnum.cast("double") / F.greatest(F.length(t), F.lit(1)), 6).alias("alnum_ratio"),
+        F.when(stop.cast("double") / F.greatest(words, F.lit(1)) > 0.05, F.lit("en"))
+        .otherwise(F.lit("unknown")).alias("lang_guess"),
+        F.substring(F.md5(F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))), 1, 16).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vectors / clustering
+# ---------------------------------------------------------------------------
+
+
+def q_centroid_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-label centroid via posexplode + hash agg (elementwise mean)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.col("label").cast("bigint").alias("label"),
+                 F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("centroid_val"))
+        .select("label", F.col("pos").cast("bigint").alias("pos"), "centroid_val")
+    )
+
+
+def _label_centroids(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.col("label").cast("bigint").alias("label"),
+                 F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p["cv"]).alias("centroid"))
+    )
+
+
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/O3: nearest-centroid assignment with the 0.82 threshold
+    (cluster_manager.py:111-132 rebuilt as broadcast-join + window)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    v = F.col("embedding").cast("array<double>")
+    sim = vec_fn.cosine_similarity(v, F.col("centroid"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("label"))
+    return (
+        e.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+        .withColumn("cos_raw", sim)
+        .withColumn("rk", F.row_number().over(w))
+        # operator default is the reference 0.82 (clustering.py); this
+        # corpus's embeddings are unclustered so the parity query uses
+        # 0.2 to exercise both the assigned and unassigned branches
+        .where((F.col("rk") == 1) & (F.col("cos_raw") > 0.2))
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                F.col("label").alias("assigned_label"),
+                F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+def q_cluster_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: all-pairs centroid similarity (merge candidates > 0.9 would
+    be merged; emit all pairs with the flag so the set is non-trivial)."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    sim = vec_fn.cosine_similarity(F.col("ca"), F.col("cb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", F.round(sim, 6).alias("cosine"),
+                (sim > 0.9).alias("should_merge"))
+    )
+
+
+def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: L2 normalization (zero vector unchanged), elementwise output."""
+    e = _t(spark, sf_dir, "embeddings")
+    normed = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        vec_fn.l2_normalize(F.col("embedding").cast("array<double>")).alias("u"),
+    )
+    return normed.select(
+        "vec_id", F.posexplode("u").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# events (batch renditions of the streaming-shaped workload)
+# ---------------------------------------------------------------------------
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window aggregate (batch twin of the Structured
+    Streaming pipeline in streaming/)."""
+    ev = _t(spark, sf_dir, "events")
+    win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint")
+    return (
+        ev.groupBy(win.alias("window_start"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min gap) via lag + cumulative sum windows."""
+    from pyspark.sql.window import Window
+
+    # parquet stores TIMESTAMP_NTZ; session TZ is UTC so the cast is
+    # value-preserving and unix_micros becomes legal
+    ev = _t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess", F.when(F.lag("ts").over(w).isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    )
+    flagged = flagged.withColumn("sess_idx", F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return flagged.groupBy(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("sess_idx").cast("bigint").alias("sess_idx"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("bigint").alias("duration_us"),
+    )
+
+
+def q_events_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 metrics analog: per-type counts + error share."""
+    ev = _t(spark, sf_dir, "events")
+    total = ev.agg(F.count("*").cast("double").alias("_total"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .crossJoin(F.broadcast(total))
+        .select("event_type", "n", F.round(F.col("n") / F.col("_total"), 6).alias("share"), "avg_value")
+    )
+
+
+def q_confidence_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 over a numeric stream: coerce + clamp to [0,1]."""
+    from ..functions import confidence as conf_fn
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round(conf_fn.coerce_confidence(F.col("value") / 10 - 0.2), 6).alias("conf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES: dict[str, Query] = {
+    "extract_spans": q_extract_spans,
+    "extract_meta": q_extract_meta,
+    "extract_media": q_extract_media,
+    "extract_metrics": q_extract_metrics,
+    "clean_text": q_clean_text,
+    "url_normalize": q_url_normalize,
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "doc_vec_join": q_doc_vec_join,
+    "member_recount": q_member_recount,
+    "anti_join": q_anti_join,
+    "topk_per_group": q_topk_per_group,
+    "broadcast_lookup": q_broadcast_lookup,
+    "full_outer_counts": q_full_outer_counts,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "text_stats": q_text_stats,
+    "centroid_means": q_centroid_means,
+    "cluster_assign": q_cluster_assign,
+    "cluster_merge_pairs": q_cluster_merge_pairs,
+    "l2_normalize": q_l2_normalize,
+    "events_window": q_events_window,
+    "events_sessions": q_events_sessions,
+    "events_rates": q_events_rates,
+    "confidence_clamp": q_confidence_clamp,
+}
