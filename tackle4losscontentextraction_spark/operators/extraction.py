@@ -193,9 +193,17 @@ def extract(
     content_chars = F.aggregate(
         text_spans, F.lit(0).cast("bigint"), lambda acc, s: acc + F.length(s["text"])
     )
-    title = _first_kind_text(ex, "headline")
+    headline = _first_kind_text(ex, "headline")
     author = _first_kind_text(ex, "author")
     pub_date = _first_kind_text(ex, "time")
+    # escalation analog (extractContent.py:394-399): no headline AND
+    # content < 500 chars -> secondary heuristic pass supplies the title
+    # from the first kept text span's opening characters.
+    first_text = F.coalesce(F.get(text_spans, 0)["text"], F.lit(""))
+    title = F.when(
+        (headline == "") & (content_chars < spec.ESCALATE_MAX_CONTENT),
+        F.substring(first_text, 1, spec.TITLE_FALLBACK_CHARS),
+    ).otherwise(headline)
 
     out = out.withColumns({
         "title": title,

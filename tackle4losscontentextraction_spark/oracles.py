@@ -168,7 +168,10 @@ doc_agg AS (
     s.did AS doc_id,
     any_value(s.lang) AS lang,
     replace(any_value(s.url), '%3A', ':') AS url_norm,
-    coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep' AND s.kind = 'headline'))[1], '') AS title,
+    CASE WHEN coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep' AND s.kind = 'headline'))[1], '') = ''
+              AND coalesce(sum(length(s.cleaned)) FILTER (WHERE s.keep_class = 'keep'), 0) < {spec.ESCALATE_MAX_CONTENT}
+         THEN substr(coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep'))[1], ''), 1, {spec.TITLE_FALLBACK_CHARS})
+         ELSE coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep' AND s.kind = 'headline'))[1], '') END AS title,
     coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep' AND s.kind = 'author'))[1], '') AS author,
     coalesce((list(s.cleaned ORDER BY s.i) FILTER (WHERE s.keep_class = 'keep' AND s.kind = 'time'))[1], '') AS publication_date,
     coalesce(bool_or(s.is_err_span), false) AS error,

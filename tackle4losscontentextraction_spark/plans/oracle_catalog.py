@@ -345,3 +345,63 @@ SELECT event_id::BIGINT AS event_id,
 FROM events
 """,
 }
+
+ORACLES.update({
+    "main_content": f"""
+WITH {oracles.spans_cte()}
+SELECT db.did AS doc_id, coalesce(m.mc, '') AS main_content
+FROM doc_base db
+LEFT JOIN (
+  SELECT did, string_agg(text, chr(10) || chr(10) ORDER BY i, sub) AS mc
+  FROM expanded WHERE media_ref = '' GROUP BY did
+) m ON m.did = db.did
+""",
+    "domain_counts_salted": f"""
+WITH {oracles.spans_cte()}
+SELECT regexp_extract(replace(url, '%3A', ':'), '^https?://([^/]+)', 1) AS domain,
+       count(*)::BIGINT AS n
+FROM doc_base
+GROUP BY 1
+""",
+    "hash_embeddings": """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, t.tk FROM w, LATERAL unnest(ws) AS t(tk)),
+h AS (SELECT doc_id, md5(tk) AS hx FROM tok),
+contrib AS (
+  SELECT doc_id,
+         (('0x' || substr(hx, 1, 8))::BIGINT % 16) AS b,
+         (((strpos('0123456789abcdef', substr(hx, 9, 1)) - 1) % 2) * 2 - 1)::DOUBLE AS s
+  FROM h
+),
+sums AS (SELECT doc_id, b, sum(s) AS v FROM contrib GROUP BY doc_id, b),
+dense AS (
+  SELECT dd.doc_id, pp.pos, coalesce(s.v, 0.0) AS val
+  FROM (SELECT DISTINCT doc_id FROM w) dd
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS pos) pp
+  LEFT JOIN sums s ON s.doc_id = dd.doc_id AND s.b = pp.pos
+),
+nrm AS (SELECT doc_id, sqrt(sum(val * val)) AS nv FROM dense GROUP BY doc_id)
+SELECT d.doc_id, d.pos::BIGINT AS pos,
+       round(CASE WHEN n.nv = 0 THEN d.val ELSE d.val / n.nv END, 6) AS val
+FROM dense d JOIN nrm n USING (doc_id)
+""",
+    "token_chunks": """
+WITH w AS (
+  SELECT doc_id::BIGINT AS doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents
+),
+c AS (
+  SELECT doc_id, t.i AS chunk_idx,
+         array_to_string(ws[(t.i*40+1)::INT : (t.i*40+40)::INT], ' ') AS chunk
+  FROM w, LATERAL unnest(range(0, greatest(ceil(len(ws) / 40.0)::BIGINT, 1))) AS t(i)
+)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+       (CASE WHEN trim(chunk) = '' THEN 0
+             ELSE length(chunk) - length(replace(chunk, ' ', '')) + 1 END)::BIGINT AS chunk_tokens,
+       md5(chunk) AS chunk_md5
+FROM c
+""",
+})

@@ -543,3 +543,86 @@ SPARK_QUERIES: dict[str, Query] = {
     "events_rates": q_events_rates,
     "confidence_clamp": q_confidence_clamp,
 }
+
+
+# ---------------------------------------------------------------------------
+# round-1 additions: section join, skew, hash embeddings, chunking
+# ---------------------------------------------------------------------------
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-doc '\\n\\n' section join of kept text spans
+    (extractContent.py:531,538) — per-row array fold, no shuffle."""
+    out = _extracted(spark, sf_dir)
+    return out.select(
+        "doc_id", extraction.main_content(F.col("extracted")).alias("main_content")
+    )
+
+
+def q_domain_counts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe doc count per domain (espn.com holds ~30% of docs):
+    two-phase salted aggregate; result equals a plain GROUP BY."""
+    from ..functions import urls as url_fn
+    from ..operators import skew
+
+    docs = _docs(spark, sf_dir)
+    domains = docs.select(
+        "doc_id", url_fn.url_domain(url_fn.normalize_url(F.col("url"))).alias("domain")
+    )
+    return skew.salted_count(domains, "domain", row_key="doc_id", buckets=16).select(
+        F.col("grp").alias("domain"), "n"
+    )
+
+
+def q_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 analog: deterministic hashed-token embedding, L2-normalized,
+    elementwise output for the oracle compare."""
+    from ..functions import embeddings as emb_fn
+
+    d = _tp(spark, sf_dir, "documents")
+    emb = emb_fn.embed_documents(d, dim=16)
+    return emb.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("embedding").alias("pos", "val"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
+
+
+def q_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 analog: chunk text into <=40-token windows (per-row HOFs)."""
+    d = _tp(spark, sf_dir, "documents")
+    chunks = tok_fn.chunk_text_by_tokens(F.col("text"), 40)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        tok_fn.token_count_ws(F.col("chunk")).cast("bigint").alias("chunk_tokens"),
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+    )
+
+
+def q_date_normalize_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 fuzzy-date pandas UDF (rows-only check: dateutil fuzzy parsing
+    is not SQL-expressible). Parses the corpus' publication dates plus
+    deliberately messy variants."""
+    from ..functions import dates as date_fn
+
+    out = _extracted(spark, sf_dir)
+    messy = F.concat(F.lit("Published on "), F.col("publication_date"), F.lit(" at 06:30 AM"))
+    return out.where(F.col("publication_date") != "").select(
+        "doc_id",
+        "publication_date",
+        F.date_format(
+            date_fn.fuzzy_parse_date_udf(messy), "yyyy-MM-dd HH:mm:ss"
+        ).alias("fuzzy_ts"),
+    )
+
+
+SPARK_QUERIES.update({
+    "main_content": q_main_content,
+    "domain_counts_salted": q_domain_counts_salted,
+    "hash_embeddings": q_hash_embeddings,
+    "token_chunks": q_token_chunks,
+    "date_normalize_fuzzy": q_date_normalize_fuzzy,
+})

@@ -52,6 +52,13 @@ LINK_DENSITY_MAX = 0.5
 # Short-content short-circuit (extractContent.py:376-377)
 MIN_CONTENT_CHARS = 200
 
+# Escalation gate (extractContent.py:394-399): the reference re-runs a
+# stronger model iff (no title AND main_content < 500 chars). The
+# deterministic analog: under the same gate, fall back to the first
+# kept text span's opening TITLE_FALLBACK_CHARS characters.
+ESCALATE_MAX_CONTENT = 500
+TITLE_FALLBACK_CHARS = 80
+
 # Error-message prefixes treated as extraction failures
 # (article_processor.py:53, extractContent.py:582-583)
 ERROR_PREFIXES = ("Extraction error:", "Failed to extract", "Extraction failed for")

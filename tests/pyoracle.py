@@ -168,6 +168,12 @@ def extract_doc(doc: dict) -> dict:
     title = first_text("headline")
     author = first_text("author")
     pub_date = first_text("time")
+
+    keep_texts = [x[1] for x in kept if x[4] == "keep"]
+    content_chars_pre = sum(len(t) for t in keep_texts)
+    # escalation analog (extractContent.py:394-399)
+    if title == "" and content_chars_pre < spec.ESCALATE_MAX_CONTENT and keep_texts:
+        title = keep_texts[0][: spec.TITLE_FALLBACK_CHARS]
     cleaned_date = None
     if pub_date:
         try:
