@@ -75,6 +75,22 @@ def inline_image_url(raw: Column) -> Column:
     return F.regexp_extract(raw, spec.RE_MD_IMAGE_URL, 1)
 
 
+# common HTML entities (templates utils.py:31-40 analog); JVM-side
+# replace chain — no UDF.
+HTML_ENTITIES = [
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&nbsp;", " "), ("&mdash;", "—"),
+    ("&ndash;", "–"), ("&hellip;", "…"),
+]
+
+
+def unescape_html_entities(col: Column) -> Column:
+    c = col
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
 def truncate_at_word_boundary(col: Column, max_len: int) -> Column:
     """Cut to <= max_len at the last space past 80% (templates utils.py:255-277)."""
     cut = F.substring(col, 1, max_len)

@@ -1,0 +1,76 @@
+"""End-to-end clustering job (the batch rendition of
+scripts/cluster_pipeline.py + cluster_articles.py — SURVEY §3.3).
+
+Stages (reference line refs in operators/clustering.py):
+
+  1. age sweep      : clusters idle > max_age -> status OLD
+                      (db_access.py:568-590; plain timestamp filter)
+  2. assign         : unclustered vectors vs broadcast centroids,
+                      argmax cosine > 0.82
+  3. centroid update: batch running-mean over new members
+  4. pair clusters  : best pending x pending pairs > 0.82 seed
+                      2-member clusters
+  5. merge fixpoint : weighted-mean merging > 0.9, <= 10 passes
+  6. recount        : drop 0/1-member clusters
+
+The reference's greedy per-article order-dependence (SURVEY §3.3) is
+deliberately replaced by frozen-centroid passes — documented batch
+variant; outputs are deterministic and order-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import clustering
+
+
+def sweep_old_clusters(clusters: DataFrame, now_ts, max_age_days: int = 3) -> DataFrame:
+    """status -> OLD for clusters idle longer than max_age_days."""
+    if "updated_at" not in clusters.columns:
+        return clusters.withColumn("status", F.lit("UPDATED"))
+    cutoff = F.lit(now_ts).cast("timestamp") - F.expr(f"INTERVAL {max_age_days} DAYS")
+    return clusters.withColumn(
+        "status",
+        F.when(F.col("updated_at") < cutoff, F.lit("OLD")).otherwise(F.coalesce(F.col("status"), F.lit("UPDATED"))),
+    )
+
+
+def run_clustering(
+    spark: SparkSession,
+    vectors: DataFrame,
+    clusters: DataFrame | None = None,
+    assign_threshold: float = clustering.ASSIGN_THRESHOLD,
+    merge_threshold: float = clustering.MERGE_THRESHOLD,
+) -> dict[str, DataFrame]:
+    """vectors(vec_id, embedding) [+ existing clusters(cluster_id,
+    centroid, member_count)] -> {clusters, assignments, pending}."""
+    if clusters is None or clusters.isEmpty():
+        clusters = spark.createDataFrame(
+            [], "cluster_id string, centroid array<double>, member_count bigint"
+        )
+        assignments = spark.createDataFrame([], "vec_id bigint, cluster_id string, cosine double")
+    else:
+        assignments = clustering.assign_to_clusters(vectors, clusters, assign_threshold)
+        clusters = clustering.update_centroids(clusters, vectors, assignments)
+
+    pending = vectors.join(assignments.select("vec_id"), "vec_id", "left_anti")
+    new_clusters = clustering.new_clusters_from_pairs(pending, assign_threshold)
+    pair_assignments = new_clusters.selectExpr(
+        "member_a as vec_id", "cluster_id", "cast(1.0 as double) as cosine"
+    ).union(
+        new_clusters.selectExpr("member_b as vec_id", "cluster_id", "cast(1.0 as double) as cosine")
+    )
+    all_clusters = clusters.unionByName(
+        new_clusters.select("cluster_id", "centroid", F.col("member_count").cast("bigint"))
+    )
+    all_assignments = assignments.unionByName(pair_assignments)
+
+    merged = clustering.merge_clusters_fixpoint(all_clusters, merge_threshold)
+    # drop degenerate (<2 member) clusters; the full recount against the
+    # complete membership table (recount_members) is a separate
+    # maintenance job in the reference too (cluster count fixer) —
+    # this batch only sees its own assignments.
+    final = merged.where(F.col("member_count") >= 2)
+    still_pending = vectors.join(all_assignments.select("vec_id"), "vec_id", "left_anti")
+    return {"clusters": final, "assignments": all_assignments, "pending": still_pending}

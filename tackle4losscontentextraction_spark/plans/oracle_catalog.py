@@ -405,3 +405,9 @@ SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
 FROM c
 """,
 })
+
+ORACLES["json_props"] = """
+SELECT event_id::BIGINT AS event_id,
+       json_extract(props, '$.k')::BIGINT AS k
+FROM events
+"""

@@ -626,3 +626,17 @@ SPARK_QUERIES.update({
     "token_chunks": q_token_chunks,
     "date_normalize_fuzzy": q_date_normalize_fuzzy,
 })
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 analog: structured-metadata extraction from embedded JSON
+    (the reference parses JSON-LD script blocks; here the events.props
+    JSON column) via get_json_object — pushed-down JVM-side parsing."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+SPARK_QUERIES["json_props"] = q_json_props

@@ -114,3 +114,12 @@ def test_truncate_at_word_boundary(spark):
     assert v == "hello brav"
     v2 = _one(spark, text_fn.truncate_at_word_boundary(F.col("s"), 10), s="short")
     assert v2 == "short"
+
+
+def test_unescape_html_entities(spark):
+    v = _one(
+        spark,
+        text_fn.unescape_html_entities(F.col("s")),
+        s="Tom &amp; Jerry &lt;3 &quot;cheese&quot;&nbsp;&mdash; yes",
+    )
+    assert v == 'Tom & Jerry <3 "cheese" — yes'
