@@ -1,0 +1,60 @@
+"""spark-submit entry point for the resumable extraction job.
+
+Usage (local or cluster — the code is identical; only master/packaging
+changes):
+
+    # package the library for executor shipping
+    cd /root/repo && zip -qr /tmp/t4l.zip tackle4losscontentextraction_spark
+
+    spark-submit --master local[32] \
+        --py-files /tmp/t4l.zip \
+        jobs/run_extraction.py \
+        --input /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/t4l_out --lineage /tmp/t4l_lineage --buckets 16
+
+On a real cluster: --master yarn/k8s, executors sized so a bucket's
+output fits in memory, AQE left on (session defaults). Kill the job at
+any point; rerunning the same command resumes from the lineage table
+without reprocessing completed buckets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--arrow", action="store_true",
+                    help="use the mapInPandas extraction path")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("t4l-extraction").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from tackle4losscontentextraction_spark.operators import extraction, extraction_arrow
+    from tackle4losscontentextraction_spark.plans import pipeline
+    from tackle4losscontentextraction_spark.sources import lineage, synth
+
+    docs = synth.docs_from_documents(spark.read.parquet(args.input))
+    transform = extraction_arrow.extract_arrow if args.arrow else extraction.extract
+    result = lineage.run_with_resume(
+        spark, docs, transform, args.output, args.lineage, n_buckets=args.buckets
+    )
+    extracted = spark.read.parquet(args.output)
+    m = pipeline.metrics(extracted).collect()[0].asDict()
+    print(json.dumps({"resume": result, "metrics": m}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

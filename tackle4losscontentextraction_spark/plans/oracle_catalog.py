@@ -411,3 +411,36 @@ SELECT event_id::BIGINT AS event_id,
        json_extract(props, '$.k')::BIGINT AS k
 FROM events
 """
+
+ORACLES["enrichment_choice"] = """
+WITH t AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         substr(text, 1, ((n_chars * 7) % 900 + 1)::INT) AS prim,
+         text AS alt1,
+         substr(text, 1, 350) AS alt2
+  FROM documents
+),
+b AS (
+  SELECT doc_id, prim,
+         CASE WHEN length(alt1) >= length(alt2) THEN alt1 ELSE alt2 END AS best_alt
+  FROM t
+),
+c AS (
+  SELECT doc_id, prim,
+         CASE WHEN length(prim) < 800
+                   AND length(best_alt) > greatest(length(prim), 400)
+              THEN best_alt ELSE prim END AS chosen
+  FROM b
+)
+SELECT doc_id, length(prim)::BIGINT AS primary_len,
+       length(chosen)::BIGINT AS final_len,
+       length(chosen) <> length(prim) AS enriched
+FROM c
+"""
+
+ORACLES["user_event_sets"] = """
+SELECT user_id::BIGINT AS user_id,
+       count(DISTINCT event_type)::BIGINT AS n_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events GROUP BY user_id
+"""

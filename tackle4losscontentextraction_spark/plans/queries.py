@@ -640,3 +640,35 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_QUERIES["json_props"] = q_json_props
+
+
+def q_enrichment_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F9: short-primary enrichment with longest-alternate acceptance
+    (primary/alternates synthesized deterministically from the text)."""
+    from ..functions import enrichment
+
+    d = _t(spark, sf_dir, "documents")
+    primary = F.substring(F.col("text"), 1, (F.pmod(F.col("n_chars") * 7, F.lit(900)) + 1).cast("int"))
+    alt1 = F.col("text")
+    alt2 = F.substring(F.col("text"), 1, 350)
+    chosen = enrichment.choose(primary, alt1, alt2)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.length(primary).cast("bigint").alias("primary_len"),
+        F.length(chosen).cast("bigint").alias("final_len"),
+        (F.length(chosen) != F.length(primary)).alias("enriched"),
+    )
+
+
+def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: set accumulation — distinct event types per user
+    (collect_set), emitted as a sorted joined string for the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+    )
+
+
+SPARK_QUERIES["enrichment_choice"] = q_enrichment_choice
+SPARK_QUERIES["user_event_sets"] = q_user_event_sets
