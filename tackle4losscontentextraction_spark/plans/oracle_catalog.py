@@ -444,3 +444,60 @@ SELECT user_id::BIGINT AS user_id,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
 FROM events GROUP BY user_id
 """
+
+ORACLES["ann_ivf"] = """
+WITH v0 AS (SELECT vec_id::BIGINT AS vid, label::BIGINT AS label,
+                   list_transform(embedding, x -> x::DOUBLE) AS raw FROM embeddings),
+u AS (
+  SELECT vid, label,
+         CASE WHEN nv = 0 THEN raw ELSE list_transform(raw, x -> x / nv) END AS v
+  FROM (SELECT vid, label, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nv FROM v0)
+),
+cm AS (
+  SELECT label AS cell_id, list(cv ORDER BY pos) AS c0
+  FROM (
+    SELECT label, pos, avg(val) AS cv
+    FROM (SELECT label, unnest(range(0, len(raw))) AS pos, unnest(raw) AS val FROM v0)
+    GROUP BY label, pos
+  ) GROUP BY label
+),
+cents AS (
+  SELECT cell_id,
+         CASE WHEN nv = 0 THEN c0 ELSE list_transform(c0, x -> x / nv) END AS centroid
+  FROM (SELECT cell_id, c0, sqrt(list_sum(list_transform(c0, x -> x * x))) AS nv FROM cm)
+),
+cells AS (
+  SELECT vid, v, cell_id FROM (
+    SELECT u.vid, u.v, c.cell_id,
+           row_number() OVER (
+             PARTITION BY u.vid
+             ORDER BY list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * c.centroid[i])) DESC,
+                      c.cell_id ASC) AS r
+    FROM u, cents c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, qv, cell_id FROM (
+    SELECT u.vid AS qid, u.v AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY u.vid
+             ORDER BY list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * c.centroid[i])) DESC,
+                      c.cell_id ASC) AS pr
+    FROM u, cents c
+    WHERE u.vid < 5
+  ) WHERE pr <= 2
+),
+scored AS (
+  SELECT p.qid, cl.vid AS neighbor,
+         list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * cl.v[i])) AS cos_raw
+  FROM probes p JOIN cells cl USING (cell_id)
+  WHERE p.qid <> cl.vid
+),
+ranked AS (
+  SELECT qid, neighbor, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, neighbor ASC)::BIGINT AS rk
+  FROM scored
+)
+SELECT qid, neighbor, round(cos_raw, 6) AS cosine, rk
+FROM ranked WHERE rk <= 5
+"""

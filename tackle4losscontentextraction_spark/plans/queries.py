@@ -672,3 +672,20 @@ def q_user_event_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARK_QUERIES["enrichment_choice"] = q_enrichment_choice
 SPARK_QUERIES["user_event_sets"] = q_user_event_sets
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-mean coarse centroids (normalized), probe
+    the 2 nearest cells per query, exact cosine within."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e).select(
+        F.col("label").alias("cell_id"),
+        vec_fn.l2_normalize(F.col("centroid")).alias("centroid"),
+    )
+    queries_df = e.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, queries_df, cents, k=5, nprobe=2)
+
+
+SPARK_QUERIES["ann_ivf"] = q_ann_ivf
