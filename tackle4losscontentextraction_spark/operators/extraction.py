@@ -187,9 +187,10 @@ def extract(
     # grouping — see plans/queries.q_extract_metrics.
 
     ex = F.col("extracted")
-    # text spans in the output carry media_ref='' (media & inline-image
-    # spans carry a ref and empty text) — the filter below is exact.
-    text_spans = F.filter(ex, lambda s: s["media_ref"] == "")
+    # text spans = non-media KINDS (filtering on media_ref=='' would
+    # misclassify a degenerate media span whose ref is empty — found by
+    # property testing)
+    text_spans = F.filter(ex, lambda s: ~s["kind"].isin(*_MEDIA))
     content_chars = F.aggregate(
         text_spans, F.lit(0).cast("bigint"), lambda acc, s: acc + F.length(s["text"])
     )
@@ -248,7 +249,7 @@ def main_content(extracted: Column) -> Column:
     """'\\n\\n'-joined kept text (section join, extractContent.py:531,538)."""
     return F.array_join(
         F.transform(
-            F.filter(extracted, lambda s: s["media_ref"] == ""),
+            F.filter(extracted, lambda s: ~s["kind"].isin(*_MEDIA)),
             lambda s: s["text"],
         ),
         "\n\n",

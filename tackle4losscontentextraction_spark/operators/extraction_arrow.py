@@ -83,11 +83,13 @@ def _extract_one(doc_id, url, lang, spans, date_formats):
         kind = s["kind"] or ""
         raw = s["text"] or ""
         media = s["media_ref"] or ""
-        if raw.startswith(spec.ERROR_PREFIXES):
-            error = True
-            continue
-        if kind in _MEDIA:
+        is_err = raw.startswith(spec.ERROR_PREFIXES)
+        if is_err:
+            error = True  # flag considers every span's text
+        if kind in _MEDIA:  # media kind wins over the error predicate
             extracted.append((kind, "", media, 0))
+            continue
+        if is_err:
             continue
         cleaned = _clean(raw)
         if kind in _BOILER:

@@ -131,12 +131,16 @@ def extract_doc(doc: dict) -> dict:
     for s in doc["spans"]:
         raw, kind = s["text"], s["kind"]
         if is_error_text(raw):
-            error = True
-            continue
-        cleaned = clean_text(raw)
+            error = True  # flag considers every span's text
+        # keep/drop order mirrors the Spark operator: media kind wins
+        # over the error predicate (media text is ignored anyway)
         if kind in _MEDIA:
             kept.append((kind, "", s["media_ref"], "", "media"))
-        elif kind in _BOILER:
+            continue
+        if is_error_text(raw):
+            continue
+        cleaned = clean_text(raw)
+        if kind in _BOILER:
             continue
         elif kind in _CONTENT:
             if cleaned:
