@@ -98,14 +98,27 @@ def update_centroids(
     )
 
 
+MAX_PENDING_PAIRING = 1000  # db_access.py:93-94 (LIMIT 1000 working set)
+
+
 def new_clusters_from_pairs(
     pending: DataFrame, threshold: float = ASSIGN_THRESHOLD,
     vec_id: str = "vec_id", vec_col: str = "embedding",
+    max_pending: int = MAX_PENDING_PAIRING,
 ) -> DataFrame:
     """J4 analog: best pending-x-pending pair above threshold seeds a
     2-member cluster (centroid = pair mean). Greedy matching done as:
     rank pairs globally by similarity, keep pairs whose both members
-    are not claimed by a better pair (one matching pass)."""
+    are not claimed by a better pair (one matching pass).
+
+    The pairing self-join is quadratic, so the working set is capped at
+    ``max_pending`` rows exactly as the reference caps its fetch
+    (db_access.py:93-94, LIMIT 1000 most-recent): top-k by descending
+    id (the corpus' recency proxy) via TakeOrderedAndProject — never a
+    global sort. Overflow rows stay pending for the next pipeline run,
+    which is the reference's behavior too."""
+    if max_pending is not None:
+        pending = pending.orderBy(F.desc(vec_id)).limit(max_pending)
     v = pending.select(F.col(vec_id).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
     o = v.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
     sim = vec_fn.cosine_similarity(F.col("v"), F.col("v_b"))
@@ -168,12 +181,87 @@ def merge_clusters_fixpoint(
 
 
 def recount_members(clusters: DataFrame, memberships: DataFrame) -> DataFrame:
-    """The count fixer: true counts per cluster; 0/1-member clusters are
-    dropped (their members to be unassigned by the caller)."""
+    """The count fixer, keep side: true counts per cluster; 0/1-member
+    clusters are dropped. The matching unassignment set for the dropped
+    clusters' members is :func:`unassigned_members` — together they are
+    the full fixer (sql/recalculate_all_cluster_member_counts.sql:14-85)."""
     counts = memberships.groupBy("cluster_id").agg(F.count("*").alias("true_count"))
     return (
         clusters.join(counts, "cluster_id", "left")
         .withColumn("true_count", F.coalesce("true_count", F.lit(0)))
         .where(F.col("true_count") >= 2)
         .select("cluster_id", "centroid", F.col("true_count").alias("member_count"))
+    )
+
+
+def unassigned_members(
+    memberships: DataFrame, member_id: str = "vec_id"
+) -> DataFrame:
+    """The count fixer, unassign side
+    (sql/recalculate_all_cluster_member_counts.sql:14-85 +
+    db_access.py:408-523): members of clusters with < 2 true members
+    get ``cluster_id`` nulled. Emits (member_id, old_cluster_id) — the
+    UPDATE set the storage layer applies (merge.update_columns with a
+    NULL cluster_id, or Iceberg MERGE ... SET cluster_id = NULL).
+
+    One window count over the membership table, no join: the per-key
+    count is computed alongside the rows that need it."""
+    w = Window.partitionBy("cluster_id")
+    return (
+        memberships.withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") < 2)
+        .select(F.col(member_id), F.col("cluster_id").alias("old_cluster_id"))
+    )
+
+
+def repair_zero_centroids(
+    clusters: DataFrame,
+    memberships: DataFrame,
+    vectors: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Zero-centroid repair (db_access.py:319-406): clusters whose
+    stored centroid is NULL or all-zero get it recomputed as the MEAN
+    of their members' embeddings; healthy clusters pass through.
+
+    Dataflow: filter the (small) broken cluster set, semi-join the
+    membership table down to just their members, posexplode+avg the
+    member embeddings (the same elementwise-mean shape as
+    update_centroids), and left-join the repairs back. Clusters with a
+    broken centroid and no members stay broken (the reference skips
+    them too) — flagged by ``repaired = false``.
+    """
+    is_zero = F.col("centroid").isNull() | ~F.exists(
+        F.col("centroid"), lambda x: x != 0.0
+    )
+    flagged = clusters.withColumn("_broken", is_zero)
+    broken_ids = flagged.where("_broken").select("cluster_id")
+    member_vecs = (
+        memberships.join(F.broadcast(broken_ids), "cluster_id")
+        .join(vectors.select(F.col(vec_id), F.col(vec_col)), vec_id)
+        .select("cluster_id", F.col(vec_col).cast("array<double>").alias("v"))
+    )
+    means = (
+        member_vecs.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.avg("val").alias("cv"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+        .select(
+            "cluster_id",
+            F.transform("pairs", lambda p: p["cv"]).alias("repaired_centroid"),
+        )
+    )
+    return (
+        flagged.join(means, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.when(
+                F.col("_broken") & F.col("repaired_centroid").isNotNull(),
+                F.col("repaired_centroid"),
+            ).otherwise(F.col("centroid").cast("array<double>")).alias("centroid"),
+            "member_count",
+            (F.col("_broken") & F.col("repaired_centroid").isNotNull()).alias("repaired"),
+        )
     )

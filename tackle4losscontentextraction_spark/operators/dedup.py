@@ -190,18 +190,45 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard over pairs that share >= 1 shingle.
 
     posting-list self-join: explode shingles, join on shingle, count
     intersections, then |A∪B| = |A|+|B|-|A∩B|. Never materializes the
     full cross product — only co-occurring pairs.
+
+    Skew guard (``max_df``): a shingle present in k docs contributes k²
+    join rows, and natural-language shingle frequencies are Zipfian —
+    one hot shingle ("of the nfl") can dominate the whole job. Shingles
+    with document frequency > max_df are dropped from the shingle SETS
+    (numerator AND denominator, so the measure stays a true Jaccard
+    over the filtered sets); near-ubiquitous shingles carry ~zero
+    discrimination, exactly like stopwords in IR. This bounds per-key
+    join cardinality at max_df² and is what makes the operator safe at
+    100 TB. ``max_df=None`` restores unfiltered exact Jaccard.
+
+    The df filter is a window count over the same shingle-hash
+    partitioning the join needs, so it adds no extra shuffle of the
+    posting list.
     """
+    from pyspark.sql.window import Window
+
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    posting = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    )
+    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        posting = (
+            posting.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
+            .where(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    # set sizes AFTER the df filter so |A|, |B| and |A∩B| describe the
+    # same (filtered) sets
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    posting = posting.join(sizes, "doc_id")
     other = posting.select(
         F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_sh_b"), "shingle"
     )
@@ -261,8 +288,22 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup (exact, small/medium N; use ANN at scale)
+# embedding cosine near-dup (LSH-bucketed candidates + exact verify)
 # ---------------------------------------------------------------------------
+
+
+def _sign_band_key(vec: Column, band: int, band_bits: int) -> Column:
+    """band_bits sign bits of dims [band*band_bits, ...) packed into an int.
+
+    Signs are invariant under L2 normalization, so the key is computed
+    on the raw vector — no normalize needed before bucketing."""
+    return sum(
+        (
+            F.when(F.get(vec, band * band_bits + j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(band_bits)
+        ),
+        F.lit(0),
+    ).cast("int")
 
 
 def embedding_near_duplicates(
@@ -270,29 +311,86 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    bands: int = 8,
+    band_bits: int = 4,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold via normalized dot on a self-join.
+    """Pairs with cosine >= threshold: sign-LSH candidates, exact verify.
 
-    Pre-normalizes once (per-row), then joins on a coarse length-bucket
-    block key is unnecessary at test scale — plain self cross within
-    broadcast range. At 100 TB scale use similarity.ann_lsh candidates
-    + this verifier.
+    Default path (the 100 TB-safe one):
+      1. each vector emits ``bands`` (band, sign-bit-key) rows — a pure
+         projection, signs taken straight off the raw embedding;
+      2. one shuffle on (band, key); in-bucket pair expansion via
+         groupBy + collect (the minhash pattern — the vector lineage is
+         never recomputed by a self-join);
+      3. distinct candidate pairs are verified with the exact
+         normalized dot; only candidates ever pay the O(dim) cosine.
+
+    Two vectors collide when ANY band's sign pattern matches (OR-
+    amplification): P(collide) = 1-(1-p^band_bits)^bands with
+    p = 1 - θ/π, so high-cosine pairs are found with near-certainty
+    while the expected bucket size stays N/(2^band_bits) per band —
+    tune band_bits up as N grows. This is approximate by construction
+    (like every ANN near-dup at scale); the driver oracle mirrors the
+    same bucketing so parity is exact.
+
+    ``method="brute"`` keeps the exact all-pairs cross join for small,
+    explicitly-opted-in inputs (it is O(N²) — never the default).
     """
     from ..functions import vectors as vec_fn
 
     normed = vectors.select(
         F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("raw"),
         vec_fn.l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
     )
-    other = normed.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
     sim = vec_fn.dot(F.col("v"), F.col("v_b"))
-    return (
-        normed.crossJoin(other)
-        .where(F.col("vid") < F.col("vid_b"))
-        .select(
-            F.col("vid").alias("id_a"),
-            F.col("vid_b").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
+
+    if method == "brute":
+        other = normed.select(F.col("vid").alias("vid_b"), F.col("v").alias("v_b"))
+        return (
+            normed.crossJoin(other)
+            .where(F.col("vid") < F.col("vid_b"))
+            .select(
+                F.col("vid").alias("id_a"),
+                F.col("vid_b").alias("id_b"),
+                F.round(sim, 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
         )
+
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"), _sign_band_key(F.col("raw"), b, band_bits).alias("key"))
+        for b in range(bands)
+    ])
+    banded = normed.select("vid", F.explode(band_structs).alias("bk")).select(
+        "vid", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("vid")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    candidates = (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+    )
+    va = normed.select(F.col("vid").alias("id_a"), F.col("v").alias("v"))
+    vb = normed.select(F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

@@ -1,0 +1,155 @@
+"""MERGE / upsert operators (SURVEY §2 S12-S14, B3).
+
+Reference semantics:
+
+- batch upsert         — ``db_access.py:291-317``
+  (``sb.table(...).upsert(rows, on_conflict="id")``): INSERT the batch;
+  rows whose key already exists REPLACE the stored row.
+- partial row update   — ``update_article.py:15-41``
+  (``.update(update_data).eq("id", id)``): only the given columns
+  change; every other column of the matched row is preserved.
+
+Storage format note (the input_hint says Iceberg): this sandbox has no
+network and ships no Iceberg runtime jar (verified: no ``iceberg``/
+``delta`` artifact under ``$SPARK_HOME/jars``, no ivy/maven cache, and
+``spark.jars.packages`` cannot resolve offline), so the MERGE INTO
+*statement* is unavailable. :func:`merge_write` therefore implements
+exactly what Iceberg's copy-on-write MERGE does mechanically —
+partition-pruned read-modify-replace with write-audit-publish ordering
+— over hash-bucketed parquet, and the dataflow halves
+(:func:`upsert`, :func:`update_columns`) are format-agnostic: pointed
+at an Iceberg catalog they become the ON MATCHED / NOT MATCHED clauses
+of ``MERGE INTO`` unchanged.
+
+Scale design (the part that must survive 100 TB):
+
+- The merge dataflow is ONE join keyed on the merge key. The source
+  (a day's updates) is typically << target; Spark broadcasts it and the
+  target never shuffles. A giant source degrades to a sort-merge join
+  AQE can skew-split — still a single wide op.
+- The storage merge never rewrites the whole table: touched buckets are
+  discovered from the source keys (a collected DISTINCT over buckets —
+  O(n_buckets), bounded), and only those bucket directories are read,
+  merged and atomically replaced (dynamic partition overwrite). At
+  thousands of buckets this is the same I/O profile as Iceberg COW:
+  rewrite bytes proportional to touched partitions, not table size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, source: DataFrame, key: str = "doc_id") -> DataFrame:
+    """INSERT ... ON CONFLICT(key) DO UPDATE (full-row replace).
+
+    Matching target rows are replaced by the source row; unmatched
+    source rows are appended (db_access.py:291-317 semantics). One
+    anti-join; the source side is the small one and broadcasts.
+    """
+    keep = target.join(F.broadcast(source.select(key)), key, "left_anti")
+    return keep.unionByName(source.select(*target.columns))
+
+
+def update_columns(
+    target: DataFrame, updates: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Partial-column UPDATE ... WHERE key matches (update_article.py:15-41).
+
+    ``updates`` carries the key plus only the columns to change; every
+    other column of a matched row is preserved, unmatched update rows
+    are ignored (the reference's ``.eq("id", ...)`` matches nothing and
+    no row is written).
+    """
+    upd_cols = [c for c in updates.columns if c != key]
+    renamed = updates.select(
+        key, *[F.col(c).alias(f"__upd_{c}") for c in upd_cols]
+    )
+    joined = target.join(F.broadcast(renamed), key, "left")
+    out_cols = []
+    for c in target.columns:
+        if c == key:
+            out_cols.append(F.col(c))
+        elif c in upd_cols:
+            # NULL __upd_ means the row was unmatched -> keep original.
+            # A matched row takes the update value even when the update
+            # value itself is NULL is NOT distinguishable via coalesce;
+            # the reference's update payloads are non-NULL scalars, so
+            # coalesce is the faithful (and join-free-able) rendition.
+            out_cols.append(F.coalesce(F.col(f"__upd_{c}"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return joined.select(*out_cols)
+
+
+def merge_write(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+    mode: str = "upsert",
+) -> dict:
+    """Copy-on-write MERGE into a hash-bucketed parquet table.
+
+    Layout: ``table_dir/bucket=<i>/part-*.parquet`` with bucket =
+    pmod(xxhash64(key), n_buckets) — the parquet stand-in for an
+    Iceberg bucket-partitioned table (see module docstring for why no
+    real Iceberg here).
+
+    Steps (Iceberg COW equivalence):
+      1. bucket the source; collect the DISTINCT touched bucket ids
+         (bounded by n_buckets — the only driver-side state);
+      2. read ONLY those bucket directories of the target;
+      3. dataflow-merge (:func:`upsert` / :func:`update_columns`);
+      4. overwrite ONLY those bucket directories in one job (dynamic
+         partition overwrite = the atomic snapshot swap).
+
+    Returns {"touched_buckets": [...], "rows_written": n}.
+    """
+    bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    src = source.withColumn("bucket", bucket_of)
+    touched = sorted(
+        r.bucket for r in src.select("bucket").distinct().collect()
+    )
+    if not touched:
+        return {"touched_buckets": [], "rows_written": 0}
+
+    existing = [
+        b for b in touched
+        if os.path.isdir(os.path.join(table_dir, f"bucket={b}"))
+    ]
+    if existing:
+        tgt = (
+            spark.read
+            .option("basePath", table_dir)
+            .parquet(*[os.path.join(table_dir, f"bucket={b}") for b in existing])
+        )
+        if mode == "upsert":
+            merged = upsert(tgt, src.select(*tgt.columns), key)
+        elif mode == "update":
+            merged = update_columns(tgt, src.drop("bucket"), key).withColumn(
+                "bucket", bucket_of
+            )
+        else:
+            raise ValueError(f"unknown merge mode: {mode}")
+    else:
+        if mode == "update":
+            return {"touched_buckets": [], "rows_written": 0}
+        merged = src
+
+    merged = merged.withColumn("bucket", bucket_of)
+    from pyspark.sql import Observation
+
+    obs = Observation("merge_write")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_dir)
+    )
+    return {"touched_buckets": touched, "rows_written": obs.get["rows"]}

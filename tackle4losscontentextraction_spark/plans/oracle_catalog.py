@@ -8,7 +8,7 @@ floats rounded to the same precision as the Spark side.
 
 from __future__ import annotations
 
-from .. import oracles
+from .. import oracles, spec
 
 # single quote doubled for SQL-literal embedding
 _BPE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+".replace("'", "''")
@@ -122,10 +122,14 @@ WITH w AS (
   SELECT doc_id::BIGINT AS doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
   FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
   FROM w, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)
 ),
+-- document-frequency cap (mirrors the Spark operator's max_df=100 skew
+-- guard): near-ubiquitous shingles are dropped from the shingle sets
+df AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN df USING (s)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -156,20 +160,33 @@ bits AS (
 SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << j::INT) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
 """,
+    # mirrors the Spark operator's sign-LSH candidate generation (8 bands
+    # x 4 sign bits) + exact cosine verify — NOT an all-pairs scan
     "dedup_embedding": """
 WITH u AS (
-  SELECT vec_id::BIGINT AS vid,
+  SELECT vec_id::BIGINT AS vid, v AS raw,
          CASE WHEN nv = 0 THEN v ELSE list_transform(v, x -> x / nv) END AS uv
   FROM (
     SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nv
     FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
   )
+),
+bands AS (
+  SELECT vid, t.b,
+         ((CASE WHEN raw[(t.b*4+1)::INT] >= 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN raw[(t.b*4+2)::INT] >= 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN raw[(t.b*4+3)::INT] >= 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN raw[(t.b*4+4)::INT] >= 0 THEN 8 ELSE 0 END)) AS key
+  FROM u, LATERAL unnest(range(0, 8)) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.vid AS id_a, c.vid AS id_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.key = c.key AND a.vid < c.vid
 )
-SELECT a.vid AS id_a, b.vid AS id_b,
+SELECT id_a, id_b,
        round(list_sum(list_transform(range(1, len(a.uv) + 1), i -> a.uv[i] * b.uv[i])), 6) AS cosine
-FROM u a, u b
-WHERE a.vid < b.vid
-  AND round(list_sum(list_transform(range(1, len(a.uv) + 1), i -> a.uv[i] * b.uv[i])), 6) >= 0.30
+FROM cand JOIN u a ON a.vid = id_a JOIN u b ON b.vid = id_b
+WHERE round(list_sum(list_transform(range(1, len(a.uv) + 1), i -> a.uv[i] * b.uv[i])), 6) >= 0.30
 """,
     # -- similarity -----------------------------------------------------------
     "ann_topk": """
@@ -346,6 +363,8 @@ FROM events
 """,
 }
 
+_MEDIA_IN = ", ".join(f"'{k}'" for k in spec.MEDIA_KINDS)
+
 ORACLES.update({
     "main_content": f"""
 WITH {oracles.spans_cte()}
@@ -353,7 +372,11 @@ SELECT db.did AS doc_id, coalesce(m.mc, '') AS main_content
 FROM doc_base db
 LEFT JOIN (
   SELECT did, string_agg(text, chr(10) || chr(10) ORDER BY i, sub) AS mc
-  FROM expanded WHERE media_ref = '' GROUP BY did
+  FROM expanded
+  -- kind-based filter to match the Spark predicate exactly: a
+  -- degenerate media span with an EMPTY ref must still be excluded
+  -- (extraction.py:191-193 pitfall, found by property testing)
+  WHERE kind NOT IN ({_MEDIA_IN}) GROUP BY did
 ) m ON m.did = db.did
 """,
     "domain_counts_salted": f"""
@@ -443,6 +466,168 @@ SELECT user_id::BIGINT AS user_id,
        count(DISTINCT event_type)::BIGINT AS n_types,
        array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
 FROM events GROUP BY user_id
+"""
+
+# -- round-2: MERGE/upsert, cluster maintenance, promoted scalars ----------
+
+ORACLES["upsert_docs"] = """
+WITH src AS (
+  SELECT doc_id, 'UPDATED ' || text AS text, lang, 'merge' AS source,
+         (length(text) + 8)::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'NEW ' || doc_id::VARCHAR, 'en', 'merge',
+         length('NEW ' || doc_id::VARCHAR)::BIGINT
+  FROM documents WHERE doc_id % 100 = 0
+),
+merged AS (
+  SELECT doc_id, text, lang, source, n_chars FROM src
+  UNION ALL
+  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+  FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.doc_id = d.doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, md5(text) AS text_md5, lang, source,
+       n_chars::BIGINT AS n_chars
+FROM merged
+"""
+
+ORACLES["update_columns"] = """
+SELECT d.doc_id::BIGINT AS doc_id, md5(d.text) AS text_md5,
+       CASE WHEN d.doc_id % 7 = 0 THEN 'de' ELSE d.lang END AS lang,
+       CASE WHEN d.doc_id % 7 = 0 THEN 'updated' ELSE d.source END AS source,
+       d.n_chars::BIGINT AS n_chars
+FROM documents d
+"""
+
+ORACLES["zero_centroid_repair"] = """
+WITH cents AS (
+  SELECT label::BIGINT AS cluster_id, list(cv ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS cv
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+)
+SELECT cluster_id,
+       unnest(range(0, len(centroid)))::BIGINT AS pos,
+       round(unnest(centroid), 6) AS val,
+       (cluster_id % 3 = 0) AS repaired
+FROM cents
+"""
+
+ORACLES["cluster_unassign"] = """
+WITH m AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         (CASE WHEN vec_id % 50 = 0 THEN vec_id + 10000 ELSE label END)::BIGINT AS cluster_id
+  FROM embeddings
+),
+small AS (SELECT cluster_id FROM m GROUP BY cluster_id HAVING count(*) < 2)
+SELECT m.vec_id, m.cluster_id AS old_cluster_id
+FROM m JOIN small USING (cluster_id)
+"""
+
+ORACLES["parse_embedding"] = """
+WITH s AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         CASE WHEN vec_id % 2 = 0
+              THEN '[' || vec_id::VARCHAR || ', ' || (vec_id*2)::VARCHAR || ', x, ' || (vec_id*3)::VARCHAR || ']'
+              ELSE vec_id::VARCHAR || ' ' || (vec_id*2)::VARCHAR || ' x ' || (vec_id*3)::VARCHAR END AS es
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+         list_transform(
+           list_filter(string_split_regex(trim(regexp_replace(es, '[\\[\\]]', '', 'g')), ',\\s*|\\s+'),
+                       x -> length(x) > 0),
+           x -> TRY_CAST(x AS DOUBLE)) AS vals
+  FROM s
+)
+SELECT vec_id, unnest(range(0, len(vals)))::BIGINT AS pos, unnest(vals) AS val
+FROM p
+"""
+
+ORACLES["stride_downsample"] = """
+WITH v AS (SELECT vec_id::BIGINT AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+d AS (SELECT vec_id, list_transform(range(1, len(v) + 1, 2), i -> v[i::INT]) AS ds FROM v)
+SELECT vec_id, unnest(range(0, len(ds)))::BIGINT AS pos, round(unnest(ds), 6) AS val
+FROM d
+"""
+
+ORACLES["running_mean"] = """
+WITH cents AS (
+  SELECT label::BIGINT AS label, list(cv ORDER BY pos) AS centroid
+  FROM (
+    SELECT label, pos, avg(val) AS cv
+    FROM (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS val
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+),
+v AS (SELECT vec_id::BIGINT AS vec_id, label::BIGINT AS label,
+             list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+nm AS (
+  SELECT v.vec_id,
+         list_transform(range(1, len(v.v) + 1), i -> (c.centroid[i::INT] * 5 + v.v[i::INT]) / 6) AS nm
+  FROM v JOIN cents c ON v.label = c.label
+)
+SELECT vec_id, unnest(range(0, len(nm)))::BIGINT AS pos, round(unnest(nm), 6) AS val
+FROM nm
+"""
+
+ORACLES["strip_truncate"] = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       substr(trim(regexp_replace(
+         regexp_replace('<p>' || text || '</p> <b>key</b>', '{spec.RE_HTML_TAG}', ' ', 'g'),
+         '\\s+', ' ', 'g')), 1, 200) AS stripped
+FROM documents
+"""
+
+ORACLES["truncate_words"] = """
+WITH c AS (
+  SELECT doc_id::BIGINT AS doc_id, text,
+         substr(text, 1, 100) AS cut,
+         strpos(reverse(substr(text, 1, 100)), ' ') AS rev_idx
+  FROM documents
+),
+d AS (
+  SELECT doc_id, text, cut, rev_idx,
+         length(cut) - rev_idx + 1 AS last_space
+  FROM c
+)
+SELECT doc_id,
+       CASE WHEN length(text) <= 100 THEN text
+            WHEN rev_idx > 0 AND last_space >= 80 THEN substr(cut, 1, (last_space - 1)::INT)
+            ELSE cut END AS truncated
+FROM d
+"""
+
+from ..functions.text import HTML_ENTITIES as _HTML_ENTITIES
+
+_ENT_EXPR = "'AT&amp;T &lt;b&gt; &quot;q&quot; &#39;a&#39;&nbsp;&mdash;&ndash;&hellip; ' || substr(text, 1, 40)"
+for _ent, _ch in _HTML_ENTITIES:
+    _ENT_EXPR = f"replace({_ENT_EXPR}, '{_ent}', '{_ch.replace(chr(39), chr(39) * 2)}')"
+
+ORACLES["unescape_entities"] = f"""
+SELECT doc_id::BIGINT AS doc_id, {_ENT_EXPR} AS unescaped
+FROM documents
+"""
+
+ORACLES["date_normalize_fuzzy"] = f"""
+WITH {oracles.spans_cte()},
+{oracles._doc_agg_cte()}
+SELECT doc_id, publication_date,
+       strftime(try_strptime(publication_date, '%b %-d, %Y') + INTERVAL 390 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS fuzzy_ts
+FROM classified
+WHERE publication_date <> ''
 """
 
 ORACLES["ann_ivf"] = """

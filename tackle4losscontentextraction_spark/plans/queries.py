@@ -689,3 +689,206 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARK_QUERIES["ann_ivf"] = q_ann_ivf
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: MERGE/upsert (S12-S14, B3), cluster maintenance
+# (zero-centroid repair, unassign), and the unit-only scalars promoted
+# to oracle-gated queries (C5, C8, A4, F3, C11, C12)
+# ---------------------------------------------------------------------------
+
+
+def _upsert_source(d: DataFrame) -> DataFrame:
+    """Deterministic merge batch: every 10th doc updated (text prefixed),
+    every 100th doc also inserted as a brand-new row (shifted id)."""
+    updates = d.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.lit("UPDATED "), F.col("text")).alias("text"),
+        "lang",
+        F.lit("merge").alias("source"),
+        (F.length(F.col("text")) + 8).cast("bigint").alias("n_chars"),
+    )
+    inserts = d.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.lit("NEW "), F.col("doc_id").cast("string")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("merge").alias("source"),
+        F.length(F.concat(F.lit("NEW "), F.col("doc_id").cast("string"))).cast("bigint").alias("n_chars"),
+    )
+    return updates.unionByName(inserts)
+
+
+def q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/B3: batch upsert (db_access.py:291-317 on_conflict=id) — the
+    dataflow half of MERGE INTO; matched rows replaced, new rows added."""
+    from ..operators import merge as merge_ops
+
+    d = _t(spark, sf_dir, "documents")
+    merged = merge_ops.upsert(d, _upsert_source(d), key="doc_id")
+    return merged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_update_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: partial-column row update (update_article.py:15-41) — only
+    the supplied columns change, unmatched rows pass through."""
+    from ..operators import merge as merge_ops
+
+    d = _t(spark, sf_dir, "documents")
+    updates = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.lit("de").alias("lang"), F.lit("updated").alias("source")
+    )
+    merged = merge_ops.update_columns(d, updates, key="doc_id")
+    return merged.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.md5("text").alias("text_md5"),
+        "lang", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+def q_zero_centroid_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-centroid repair (db_access.py:319-406): labels ≡ 0 (mod 3)
+    get their centroid zeroed in the fixture, then recomputed as the
+    member-embedding mean."""
+    from ..operators import clustering
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    clusters = cents.select(
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("label") % 3 == 0, F.transform("centroid", lambda _: F.lit(0.0)))
+        .otherwise(F.col("centroid")).alias("centroid"),
+    ).join(
+        e.groupBy(F.col("label").cast("bigint").alias("cluster_id"))
+        .agg(F.count("*").alias("member_count")),
+        "cluster_id",
+    )
+    memberships = e.select("vec_id", F.col("label").cast("bigint").alias("cluster_id"))
+    repaired = clustering.repair_zero_centroids(clusters, memberships, e)
+    return repaired.select(
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.posexplode("centroid").alias("pos", "val"),
+        "repaired",
+    ).select(
+        "cluster_id", F.col("pos").cast("bigint").alias("pos"),
+        F.round("val", 6).alias("val"), "repaired",
+    )
+
+
+def q_cluster_unassign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-fixer unassign side
+    (sql/recalculate_all_cluster_member_counts.sql:14-85): members of
+    <2-member clusters emitted for cluster_id nulling. Fixture: every
+    50th vector is exiled to its own singleton cluster."""
+    from ..operators import clustering
+
+    e = _t(spark, sf_dir, "embeddings")
+    memberships = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.when(F.col("vec_id") % 50 == 0, F.col("vec_id") + 10_000)
+        .otherwise(F.col("label")).cast("bigint").alias("cluster_id"),
+    )
+    return clustering.unassigned_members(memberships).select(
+        "vec_id", F.col("old_cluster_id").cast("bigint").alias("old_cluster_id")
+    )
+
+
+def q_parse_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: embedding-string parse (vector_utils.py:16-40 analog) over
+    deterministic bracketed/space-separated strings with an unparseable
+    token (NULL element) every row."""
+    e = _t(spark, sf_dir, "embeddings")
+    i = F.col("vec_id").cast("string")
+    i2 = (F.col("vec_id") * 2).cast("string")
+    i3 = (F.col("vec_id") * 3).cast("string")
+    s = F.when(
+        F.col("vec_id") % 2 == 0,
+        F.concat(F.lit("["), i, F.lit(", "), i2, F.lit(", x, "), i3, F.lit("]")),
+    ).otherwise(F.concat(i, F.lit(" "), i2, F.lit(" x "), i3))
+    parsed = vec_fn.parse_embedding_string(s)
+    return e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode(parsed).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), "val")
+
+
+def q_stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: dimension normalization by stride sampling (vector_utils.py:97-120)."""
+    e = _t(spark, sf_dir, "embeddings")
+    ds = vec_fn.stride_downsample(F.col("embedding").cast("array<double>"), 2)
+    return e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode(ds).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
+
+
+def q_running_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: greedy-assign running-mean update (cluster_manager.py:81):
+    each vector folded into its label centroid at member_count=5."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _label_centroids(e)
+    joined = e.join(F.broadcast(cents), e.label == cents.label)
+    nm = vec_fn.running_mean_update(
+        F.col("centroid"), F.col("embedding").cast("array<double>"), F.lit(5)
+    )
+    return joined.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.posexplode(nm).alias("pos", "val"),
+    ).select("vec_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
+
+
+def q_strip_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: strip tags + collapse ws + truncate (extractContent.py:419-424)."""
+    from ..functions import text as text_fn
+
+    d = _tp(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p> <b>key</b>"))
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fn.strip_and_truncate(raw, 200).alias("stripped"),
+    )
+
+
+def q_truncate_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: truncate at word boundary (templates utils.py:255-277)."""
+    from ..functions import text as text_fn
+
+    d = _tp(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fn.truncate_at_word_boundary(F.col("text"), 100).alias("truncated"),
+    )
+
+
+def q_unescape_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: HTML entity unescape chain (templates utils.py:31-40)."""
+    from ..functions import text as text_fn
+
+    d = _tp(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit("AT&amp;T &lt;b&gt; &quot;q&quot; &#39;a&#39;&nbsp;&mdash;&ndash;&hellip; "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fn.unescape_html_entities(s).alias("unescaped"),
+    )
+
+
+SPARK_QUERIES.update({
+    "upsert_docs": q_upsert_docs,
+    "update_columns": q_update_columns,
+    "zero_centroid_repair": q_zero_centroid_repair,
+    "cluster_unassign": q_cluster_unassign,
+    "parse_embedding": q_parse_embedding,
+    "stride_downsample": q_stride_downsample,
+    "running_mean": q_running_mean,
+    "strip_truncate": q_strip_truncate,
+    "truncate_words": q_truncate_words,
+    "unescape_entities": q_unescape_entities,
+})

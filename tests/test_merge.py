@@ -1,0 +1,92 @@
+"""MERGE/upsert operator tests (S12-S14, B3 — db_access.py:291-317,
+update_article.py:15-41) including the storage-level copy-on-write
+merge's bucket pruning and idempotency."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from tackle4losscontentextraction_spark.operators import merge as merge_ops
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "one", "en"), (2, "two", "en"), (3, "three", "de")],
+        "doc_id bigint, text string, lang string",
+    )
+
+
+def test_upsert_replaces_and_inserts(spark):
+    src = spark.createDataFrame(
+        [(2, "TWO", "fr"), (9, "nine", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in merge_ops.upsert(_target(spark), src).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[2].text == "TWO" and out[2].lang == "fr"  # replaced
+    assert out[9].text == "nine"                          # inserted
+    assert out[1].text == "one"                           # untouched
+
+
+def test_update_columns_partial_and_unmatched(spark):
+    upd = spark.createDataFrame(
+        [(3, "fr"), (42, "xx")], "doc_id bigint, lang string"
+    )
+    out = {r.doc_id: r for r in merge_ops.update_columns(_target(spark), upd).collect()}
+    assert set(out) == {1, 2, 3}          # unmatched update row ignored
+    assert out[3].lang == "fr"            # updated column
+    assert out[3].text == "three"         # untouched column preserved
+    assert out[1].lang == "en"
+
+
+def test_merge_write_bucket_pruning_and_resume(spark, tmp_path):
+    table = str(tmp_path / "docs_table")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    # seed the table (every bucket written once)
+    n = merge_ops.merge_write(spark, table, base, n_buckets=8)
+    assert n["rows_written"] == 200 and len(n["touched_buckets"]) == 8
+
+    # record per-bucket file sets, then merge a single-bucket source
+    def files(b):
+        d = os.path.join(table, f"bucket={b}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {b: files(b) for b in range(8)}
+    one = spark.createDataFrame(
+        [(7, "UPDATED"), (100007, "BRAND NEW")], "doc_id bigint, text string"
+    )
+    res = merge_ops.merge_write(spark, table, one, n_buckets=8)
+    touched = set(res["touched_buckets"])
+    assert 1 <= len(touched) <= 2
+    for b in range(8):
+        if b not in touched:
+            assert files(b) == before[b], "untouched bucket must not be rewritten"
+
+    final = spark.read.parquet(table)
+    assert final.count() == 201
+    got = {r.doc_id: r.text for r in final.where(F.col("doc_id").isin(7, 100007)).collect()}
+    assert got == {7: "UPDATED", 100007: "BRAND NEW"}
+
+    # idempotency: re-applying the same merge changes nothing
+    res2 = merge_ops.merge_write(spark, table, one, n_buckets=8)
+    assert res2["touched_buckets"] == res["touched_buckets"]
+    assert spark.read.parquet(table).count() == 201
+
+
+def test_merge_write_update_mode(spark, tmp_path):
+    table = str(tmp_path / "upd_table")
+    base = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"), F.lit("t").alias("text")
+    )
+    merge_ops.merge_write(spark, table, base, n_buckets=4)
+    upd = spark.createDataFrame([(10, "de")], "doc_id bigint, lang string")
+    merge_ops.merge_write(spark, table, upd, n_buckets=4, mode="update")
+    rows = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    assert len(rows) == 50
+    assert rows[10].lang == "de" and rows[10].text == "t"
+    assert rows[11].lang == "en"
