@@ -11,8 +11,22 @@ from .. import spec
 
 
 def normalize_url(col: Column) -> Column:
-    """unquote(url); prepend https://www. when no http prefix."""
-    decoded = F.try_url_decode(col)
+    """unquote(url); prepend https://www. when no http prefix.
+
+    Unified decode semantics across the Catalyst, Arrow and pyoracle
+    paths (they must be row-for-row equal):
+
+    - '+' is PRESERVED (urllib.parse.unquote semantics, matching the
+      reference's unquote at article_processor.py:40-41) — java.net
+      URLDecoder would turn it into a space, so it is protected as
+      %2B before try_url_decode;
+    - a malformed escape anywhere ('%zz', trailing '%') leaves the
+      WHOLE string undecoded (try_url_decode -> NULL -> coalesce);
+    - invalid UTF-8 percent-sequences decode to U+FFFD (both engines
+      already agree on this).
+    """
+    protected = F.replace(col, F.lit("+"), F.lit("%2B"))
+    decoded = F.try_url_decode(protected)
     decoded = F.coalesce(decoded, col)
     return F.when(
         decoded.startswith("http"), decoded

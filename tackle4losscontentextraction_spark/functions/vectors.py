@@ -59,7 +59,8 @@ def stride_downsample(a: Column, factor: int = 2) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a, b) with the reference's edge rules (vector_utils.py:42-95):
 
-    - empty / size-1 arrays -> 0.0
+    - empty arrays -> 0.0 (size-1 vectors get a REAL cosine, ±1 — the
+      reference only zeroes ndim-0/empty inputs)
     - zero-norm either side -> 0.0
     - dims differing by exactly 2x -> stride-2 downsample the longer
     - other dim mismatches -> NULL (reference raises ValueError)
@@ -69,7 +70,7 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     na, nb = l2_norm(a2), l2_norm(b2)
     raw = dot(a2, b2) / (na * nb)
     return (
-        F.when((F.size(a2) <= 1) | (F.size(b2) <= 1), F.lit(0.0))
+        F.when((F.size(a2) == 0) | (F.size(b2) == 0), F.lit(0.0))
         .when(F.size(a2) != F.size(b2), F.lit(None).cast("double"))
         .when((na == 0.0) | (nb == 0.0), F.lit(0.0))
         .otherwise(raw)

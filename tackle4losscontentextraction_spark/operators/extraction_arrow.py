@@ -66,8 +66,21 @@ def _clean(t: str) -> str:
     return _RE_WS.sub(" ", t).strip()
 
 
+_RE_BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
+def _url_decode(u: str) -> str:
+    """Twin of functions/urls.normalize_url's decode step: '+' preserved,
+    any malformed escape leaves the WHOLE string undecoded, invalid
+    UTF-8 sequences become U+FFFD (see that docstring for the unified
+    cross-path semantics)."""
+    if _RE_BAD_ESCAPE.search(u):
+        return u
+    return urllib.parse.unquote(u)
+
+
 def _extract_one(doc_id, url, lang, spans, date_formats):
-    url_norm = urllib.parse.unquote(url or "")
+    url_norm = _url_decode(url or "")
     if not url_norm.startswith("http"):
         url_norm = "https://www." + url_norm
 
@@ -145,7 +158,10 @@ def _extract_one(doc_id, url, lang, spans, date_formats):
         ct, tc = spec.CT_ROUNDUP_URL
     elif content_chars < spec.MIN_CONTENT_CHARS:
         ct, tc = spec.CT_EMPTY
-    elif lang != "en":
+    elif lang is not None and lang != "en":
+        # NULL lang must NOT classify as wrong_content: the Catalyst
+        # twin's (lang != 'en') is NULL for NULL lang, which when()
+        # treats as false — mirror that fall-through here
         ct, tc = spec.CT_WRONG
     elif headline_cnt >= spec.HEADLINE_ROUNDUP_MIN:
         ct, tc = spec.CT_ROUNDUP_SHAPE

@@ -7,9 +7,9 @@
   (nearest coarse centroid); a query probes only the `nprobe` nearest
   cells and brute-forces within them. At 100 TB the cell assignment is
   a broadcast map-side op and the probe touches nprobe/nlist of the
-  data — the scan cost drops proportionally. Centroids here come from
-  the label column (deterministic); on a real corpus they'd come from
-  a k-means job (same dataflow, iterated).
+  data — the scan cost drops proportionally. Coarse centroids come
+  from :func:`kmeans_fit` (driver-iterated Lloyd's, deterministic
+  lowest-id init) or, for fixtures, the label column.
 - :func:`lsh_buckets` — sign-LSH bucketing (see plans/queries
   q_ann_lsh_buckets for the driver-facing version).
 
@@ -67,6 +67,60 @@ def cells_from_centroids(vectors: DataFrame, centroids: DataFrame,
         .where(F.col("r") == 1)
         .select("vid", "v", "cell_id")
     )
+
+
+def kmeans_fit(
+    vectors: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) for IVF coarse centroids.
+
+    Deterministic init: the k lowest-id vectors (normalized) seed the
+    cells — reproducible across engines, no RNG. Each iteration:
+
+      1. assign: every vector to its argmax-cosine centroid — the
+         centroid set is O(k), broadcast; assignment is one map-side
+         pass + a per-vector window rank (no data shuffle);
+      2. update: new centroid = elementwise mean of the cell's member
+         vectors (posexplode + hash agg — the same shape as
+         update_centroids), re-normalized (spherical k-means).
+
+    The loop is driver-iterated like merge_clusters_fixpoint; ``iters``
+    is small (coarse quantizers converge in a few passes). A cell that
+    loses every member disappears (standard Lloyd's degeneracy; callers
+    wanting fixed k re-seed — not needed for IVF where empty cells are
+    simply never probed).
+
+    Returns (cell_id bigint, centroid array<double>), L2-normalized —
+    directly consumable by :func:`ivf_topk`.
+    """
+    normed = _normalized(vectors, id_col, vec_col)
+    cents = (
+        normed.orderBy("vid").limit(k)
+        .withColumn("cell_id", F.row_number().over(Window.orderBy("vid")) - 1)
+        .select(F.col("cell_id").cast("bigint").alias("cell_id"), F.col("v").alias("centroid"))
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cell_id"))
+        assigned = (
+            normed.crossJoin(F.broadcast(cents))
+            .withColumn("cs", vec_fn.dot(F.col("v"), F.col("centroid")))
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("cell_id", "v")
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("cv"))
+            .groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
+            .select("cell_id", F.transform("pairs", lambda p: p["cv"]).alias("m"))
+        )
+        cents = means.select(
+            "cell_id", vec_fn.l2_normalize(F.col("m")).alias("centroid")
+        )
+    return cents
 
 
 def ivf_topk(

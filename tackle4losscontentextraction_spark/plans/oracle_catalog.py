@@ -620,6 +620,55 @@ SELECT doc_id::BIGINT AS doc_id, {_ENT_EXPR} AS unescaped
 FROM documents
 """
 
+# two unrolled Lloyd's iterations, mirroring similarity.kmeans_fit
+# (normalize -> seed with the 4 lowest-id vectors -> assign by argmax
+# cosine -> member mean -> renormalize, twice)
+_KM_NORM = """
+  SELECT cell_id,
+         CASE WHEN nv = 0 THEN m ELSE list_transform(m, x -> x / nv) END AS centroid
+  FROM (SELECT cell_id, m, sqrt(list_sum(list_transform(m, x -> x * x))) AS nv FROM {src})
+"""
+
+_KM_STEP = """
+a{i} AS (
+  SELECT cell_id, v FROM (
+    SELECT u.vid, u.v, c.cell_id,
+           row_number() OVER (
+             PARTITION BY u.vid
+             ORDER BY list_sum(list_transform(range(1, len(u.v) + 1), j -> u.v[j] * c.centroid[j])) DESC,
+                      c.cell_id ASC) AS r
+    FROM u, c{prev} c
+  ) WHERE r = 1
+),
+m{i} AS (
+  SELECT cell_id, list(cv ORDER BY pos) AS m
+  FROM (
+    SELECT cell_id, pos, avg(val) AS cv
+    FROM (SELECT cell_id, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a{i})
+    GROUP BY cell_id, pos
+  ) GROUP BY cell_id
+),
+c{i} AS ({norm})
+"""
+
+ORACLES["kmeans_centroids"] = f"""
+WITH v0 AS (SELECT vec_id::BIGINT AS vid, list_transform(embedding, x -> x::DOUBLE) AS raw FROM embeddings),
+u AS (
+  SELECT vid,
+         CASE WHEN nv = 0 THEN raw ELSE list_transform(raw, x -> x / nv) END AS v
+  FROM (SELECT vid, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nv FROM v0)
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vid) - 1)::BIGINT AS cell_id, v AS centroid
+  FROM (SELECT vid, v FROM u ORDER BY vid LIMIT 4)
+),
+{_KM_STEP.format(i=1, prev=0, norm=_KM_NORM.format(src="m1"))},
+{_KM_STEP.format(i=2, prev=1, norm=_KM_NORM.format(src="m2"))}
+SELECT cell_id, unnest(range(0, len(centroid)))::BIGINT AS pos,
+       round(unnest(centroid), 6) AS val
+FROM c2
+"""
+
 ORACLES["date_normalize_fuzzy"] = f"""
 WITH {oracles.spans_cte()},
 {oracles._doc_agg_cte()}

@@ -880,7 +880,21 @@ def q_unescape_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means coarse-centroid job for IVF (2 Lloyd's
+    iterations, k=4, deterministic lowest-id init)."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(e, k=4, iters=2)
+    return cents.select(
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.posexplode("centroid").alias("pos", "val"),
+    ).select("cell_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
+
+
 SPARK_QUERIES.update({
+    "kmeans_centroids": q_kmeans_centroids,
     "upsert_docs": q_upsert_docs,
     "update_columns": q_update_columns,
     "zero_centroid_repair": q_zero_centroid_repair,

@@ -6,14 +6,15 @@ scan of unprocessed rows (fetch_unprocessed_articles.py:59,
 article_processor.py:109-141, SURVEY §2.10 R6 / §2.4 J6).
 
 Spark design: work is split into deterministic *buckets*
-(``pmod(xxhash64(doc_id), n_buckets)``). Each bucket is processed and
-written independently; a lineage record (bucket id, row count, status)
-is appended ONLY AFTER the bucket's output parquet is fully committed
-(write-audit-publish ordering — the lineage write is the publish).
-Restart = anti-join of the bucket list against the lineage table, so
-completed buckets are never recomputed and a half-written bucket (no
-lineage row) is overwritten idempotently via dynamic partition
-overwrite of that bucket's directory.
+(``pmod(xxhash64(doc_id), n_buckets)``). All pending buckets are
+processed and written in ONE ``partitionBy("bucket")`` job (dynamic
+partition overwrite); lineage records (bucket id, row count, status)
+are appended ONLY AFTER that job commits, with counts taken from an
+Observation on the write itself (write-audit-publish ordering — the
+lineage write is the publish). Restart = anti-join of the bucket list
+against the lineage table, so completed buckets are never recomputed
+and half-written buckets (no lineage rows) are overwritten
+idempotently by the next run's single job.
 
 At 100 TB the bucket count is sized so each bucket is a few GB
 (thousands of buckets); the anti-join is against a tiny lineage table
@@ -63,24 +64,60 @@ def run_with_resume(
     n_buckets: int = 16,
     key: str = "doc_id",
 ) -> dict:
-    """Process only not-yet-done buckets; write output partitioned by
-    bucket; publish a lineage row per bucket after its data commits.
+    """Process only not-yet-done buckets in ONE Spark job; publish the
+    lineage rows for all of them after the data commit.
+
+    ``transform`` must preserve the ``key`` column (the bucket is
+    re-derived from it on the output side).
+
+    The whole pending set is written as a single
+    ``partitionBy("bucket")`` job with dynamic partition overwrite —
+    the previous per-bucket loop of tiny jobs left a large cluster idle
+    between scheduling waves and re-read every bucket for its count.
+    Per-bucket row counts now come from an ``Observation`` on the SAME
+    write job (write metrics, not a second scan). Ordering is still
+    write-audit-publish: a job killed mid-write leaves old partition
+    data intact (the overwrite commits at job completion) and no
+    lineage rows, so the next run redoes exactly those buckets.
+
+    At thousands of buckets (the 100 TB sizing) the observation is one
+    conditional-sum column per pending bucket — wide but constant-space
+    per task; beyond ~10k pending buckets batch the run into waves.
 
     Returns {"processed": [...], "skipped": [...], "rows": n}.
     """
-    bucketed = with_bucket(df, key, n_buckets)
     pending = pending_buckets(spark, df, lineage_dir, n_buckets, key)
     skipped = [b for b in range(n_buckets) if b not in pending]
-    total = 0
     os.makedirs(lineage_dir, exist_ok=True)
-    for b in pending:
-        part = transform(bucketed.where(F.col("bucket") == b))
-        # data commit first ...
-        part.write.mode("overwrite").parquet(os.path.join(out_dir, f"bucket={b}"))
-        n = spark.read.parquet(os.path.join(out_dir, f"bucket={b}")).count()
-        # ... lineage publish second (write-audit-publish)
-        spark.createDataFrame(
-            [(b, n, "done")], "bucket int, n_rows bigint, status string"
-        ).write.mode("append").parquet(lineage_dir)
-        total += n
-    return {"processed": pending, "skipped": skipped, "rows": total}
+    if not pending:
+        return {"processed": [], "skipped": skipped, "rows": 0}
+
+    bucketed = with_bucket(df, key, n_buckets)
+    part = transform(bucketed.where(F.col("bucket").isin(pending)))
+    part = with_bucket(part, key, n_buckets)
+
+    from pyspark.sql import Observation
+
+    obs = Observation("lineage_counts")
+    part = part.observe(
+        obs,
+        *[
+            F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")
+            for b in pending
+        ],
+    )
+    # data commit first (one job, only pending partitions replaced) ...
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    metrics = obs.get
+    counts = {b: int(metrics[f"b{b}"] or 0) for b in pending}
+    # ... lineage publish second (write-audit-publish)
+    spark.createDataFrame(
+        [(b, counts[b], "done") for b in pending],
+        "bucket int, n_rows bigint, status string",
+    ).write.mode("append").parquet(lineage_dir)
+    return {"processed": pending, "skipped": skipped, "rows": sum(counts.values())}

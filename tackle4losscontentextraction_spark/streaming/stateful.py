@@ -37,6 +37,7 @@ def _sessionize_group(
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
     gap_us: int = DEFAULT_GAP_US,
+    idle_timeout_ms: int | None = None,
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
     ts_list: list[int] = []
@@ -67,10 +68,23 @@ def _sessionize_group(
             completed.append((user_id, start, last, n, "gap"))
             start, last, n = t, t, 1
         else:
-            last, n = t, n + 1
+            # max(): a cross-batch late event with t < stored last must
+            # not move the session frontier backwards (it would make a
+            # later in-gap event look like a gap split)
+            last, n = max(last, t), n + 1
     if start is not None:
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)  # close idle sessions after 60 s
+        # the idle timeout defaults to the SESSION GAP expressed in
+        # processing time: a session only force-closes once the stream
+        # has been quiet for a full gap, so a within-gap event arriving
+        # late can still extend it — the previous fixed 60 s closed
+        # sessions a later event should have extended. Callers tracking
+        # fast-forwarded replays (processing time << event time) can
+        # pass a smaller idle_timeout_ms explicitly; those 'timeout'
+        # closures are provisional by nature.
+        state.setTimeoutDuration(
+            idle_timeout_ms if idle_timeout_ms is not None else max(gap_us // 1000, 1)
+        )
     if completed:
         yield pd.DataFrame(
             completed,
@@ -78,11 +92,19 @@ def _sessionize_group(
         )
 
 
-def sessionize_stream(events: DataFrame, gap_us: int = DEFAULT_GAP_US) -> DataFrame:
-    """events stream (user_id, ts, ...) -> completed-session stream."""
+def sessionize_stream(
+    events: DataFrame,
+    gap_us: int = DEFAULT_GAP_US,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """events stream (user_id, ts, ...) -> completed-session stream.
+
+    ``idle_timeout_ms`` (default: gap_us/1000) is the processing-time
+    quiet period after which an open session is force-closed with
+    ``closed_by='timeout'`` — see _sessionize_group for semantics."""
 
     def fn(key, pdfs, state):
-        return _sessionize_group(key, pdfs, state, gap_us)
+        return _sessionize_group(key, pdfs, state, gap_us, idle_timeout_ms)
 
     return (
         events.groupBy("user_id")

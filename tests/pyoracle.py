@@ -52,8 +52,13 @@ def inline_image_url(raw: str) -> str:
     return m.group(1) if m else ""
 
 
+_RE_BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
+
+
 def normalize_url(url: str) -> str:
-    decoded = urllib.parse.unquote(url)
+    # unified decode semantics (functions/urls.py docstring): '+'
+    # preserved, malformed escape -> whole string undecoded
+    decoded = url if _RE_BAD_ESCAPE.search(url) else urllib.parse.unquote(url)
     if not decoded.startswith("http"):
         decoded = "https://www." + decoded
     return decoded
@@ -196,7 +201,7 @@ def extract_doc(doc: dict) -> dict:
         ct, tc = spec.CT_ROUNDUP_URL
     elif content_chars < spec.MIN_CONTENT_CHARS:
         ct, tc = spec.CT_EMPTY
-    elif doc["lang"] != "en":
+    elif doc["lang"] is not None and doc["lang"] != "en":
         ct, tc = spec.CT_WRONG
     elif headline_cnt >= spec.HEADLINE_ROUNDUP_MIN:
         ct, tc = spec.CT_ROUNDUP_SHAPE

@@ -35,8 +35,19 @@ def test_cosine_zero_norm_is_zero(spark):
     assert v == 0.0
 
 
-def test_cosine_scalar_is_zero(spark):
-    v = _one(spark, vec_fn.cosine_similarity(F.col("a"), F.col("b")), a=[1.0], b=[1.0])
+def test_cosine_single_element_is_real_cosine(spark):
+    """The reference zeroes only empty/ndim-0 inputs; 1-element vectors
+    get a true cosine (vector_utils.py:63-76)."""
+    v = _one(spark, vec_fn.cosine_similarity(F.col("a"), F.col("b")), a=[2.0], b=[1.0])
+    assert v == 1.0
+    v = _one(spark, vec_fn.cosine_similarity(F.col("a"), F.col("b")), a=[2.0], b=[-1.0])
+    assert v == -1.0
+
+
+def test_cosine_empty_is_zero(spark):
+    # typed empty array via slice (bare [] infers as array<void>)
+    v = _one(spark, vec_fn.cosine_similarity(F.slice(F.col("a"), 1, 0), F.col("b")),
+             a=[1.0], b=[1.0])
     assert v == 0.0
 
 
