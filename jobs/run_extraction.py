@@ -22,7 +22,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# local runs (python jobs/run_extraction.py) resolve the package from
+# the repo root; under spark-submit --py-files the zip provides it
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:

@@ -74,3 +74,24 @@ def run_clustering(
     final = merged.where(F.col("member_count") >= 2)
     still_pending = vectors.join(all_assignments.select("vec_id"), "vec_id", "left_anti")
     return {"clusters": final, "assignments": all_assignments, "pending": still_pending}
+
+
+def run_maintenance(
+    clusters: DataFrame, memberships: DataFrame, vectors: DataFrame
+) -> dict[str, DataFrame]:
+    """The reference's scheduled maintenance pass, as one dataflow:
+
+      1. count fixer keep side — true recount, drop <2-member clusters
+         (sql/recalculate_all_cluster_member_counts.sql:14-85);
+      2. count fixer unassign side — members of dropped clusters, to
+         have cluster_id nulled (db_access.py:408-523) — apply with
+         merge.update_columns / MERGE ... SET cluster_id = NULL;
+      3. zero-centroid repair over the survivors
+         (db_access.py:319-406).
+
+    Returns {"clusters": repaired survivors, "unassign": (member_id,
+    old_cluster_id)}."""
+    kept = clustering.recount_members(clusters, memberships)
+    unassign = clustering.unassigned_members(memberships)
+    repaired = clustering.repair_zero_centroids(kept, memberships, vectors)
+    return {"clusters": repaired, "unassign": unassign}

@@ -56,3 +56,29 @@ def test_sweep_old_clusters(spark):
     out = {r.cluster_id: r.status for r in
            cluster_pipeline.sweep_old_clusters(clusters, "2025-01-06 00:00:00").collect()}
     assert out == {"a": "OLD", "b": "NEW"}
+
+
+def test_run_maintenance(spark):
+    """count fixer (keep + unassign) + zero-centroid repair in one pass."""
+    from tackle4losscontentextraction_spark.plans import cluster_pipeline
+
+    clusters = spark.createDataFrame(
+        [("a", [0.0, 0.0], 99), ("b", [1.0, 0.0], 1), ("c", [2.0, 2.0], 2)],
+        "cluster_id string, centroid array<double>, member_count bigint",
+    )
+    memberships = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c"), (5, "c")],
+        "vec_id bigint, cluster_id string",
+    )
+    vectors = spark.createDataFrame(
+        [(1, [2.0, 6.0]), (2, [4.0, 2.0]), (3, [1.0, 1.0]), (4, [5.0, 5.0]), (5, [7.0, 7.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = cluster_pipeline.run_maintenance(clusters, memberships, vectors)
+    kept = {r.cluster_id: r for r in out["clusters"].collect()}
+    # 'b' dropped (1 member), counts fixed, zero centroid of 'a' repaired
+    assert set(kept) == {"a", "c"}
+    assert kept["a"].member_count == 2 and kept["a"].centroid == [3.0, 4.0]
+    assert kept["a"].repaired and not kept["c"].repaired
+    unassign = [(r.vec_id, r.old_cluster_id) for r in out["unassign"].collect()]
+    assert unassign == [(3, "b")]
