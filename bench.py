@@ -115,15 +115,19 @@ def run_bench() -> None:
     spark.stop()
 
 
-def run_one_scale(cores: int, n_docs: int, reps: int = 3) -> dict:
+def run_one_scale(cores: int, n_docs: int, reps: int = 3, impl: str = "catalyst") -> dict:
     """Child process entry: time the extraction job at a parallelism.
 
     This sandbox is a SHARED box (co-tenant load causes 5-10x noise), so
     we run `reps` identical timed jobs in one JVM (steady-state JIT) and
-    report the minimum — the least-interfered estimate."""
+    report the minimum — the least-interfered estimate.
+
+    impl="arrow" times the mapInPandas twin instead — a second,
+    independent scaling signal whose per-core work runs in separate
+    Python workers (no shared-JVM allocation contention)."""
     from pyspark.sql import functions as F
 
-    from tackle4losscontentextraction_spark.operators import extraction
+    from tackle4losscontentextraction_spark.operators import extraction, extraction_arrow
     from tackle4losscontentextraction_spark.session import get_spark
     from tackle4losscontentextraction_spark.sources import synth
 
@@ -133,15 +137,16 @@ def run_one_scale(cores: int, n_docs: int, reps: int = 3) -> dict:
     # fixed work, partition count sized so 4x cores has 4x schedulable tasks
     docs = synth.synth_docs(spark, n_docs, partitions=128).cache()
     docs.count()  # materialize input outside the timed region
+    fn = extraction_arrow.extract_arrow if impl == "arrow" else extraction.extract
     best, n = 1e18, 0
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = extraction.extract(docs)
+        out = fn(docs)
         n = out.agg(F.count("*").alias("n"), F.sum("content_chars").alias("_force")).collect()[0].n
         best = min(best, time.perf_counter() - t0)
     spark.stop()
     return {"cores": cores, "n_docs": n, "sec": round(best, 3),
-            "docs_per_sec": round(n / best, 1), "reps": reps}
+            "docs_per_sec": round(n / best, 1), "reps": reps, "impl": impl}
 
 
 def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000) -> None:
@@ -155,42 +160,61 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
 
     Child runs interleave and the per-(cores,n_docs) minimum accumulates
     across invocations to harvest quiet windows."""
-    best: dict[tuple[int, int], dict] = {}
+    best: dict[tuple[str, int, int], dict] = {}
     prior_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(prior_path):
         try:
             with open(prior_path) as f:
                 prior = json.load(f)
             for res in prior.get("results", {}).values():
-                best[(res["cores"], res["n_docs"])] = res
+                best[(res.get("impl", "catalyst"), res["cores"], res["n_docs"])] = res
         except (json.JSONDecodeError, KeyError):
             pass
-    plan = [(2, n_small), (8, n_small), (8, n_large), (32, n_large)]
+    plan = [
+        ("catalyst", 2, n_small), ("catalyst", 8, n_small),
+        ("catalyst", 8, n_large), ("catalyst", 32, n_large),
+        # Arrow twin pair: independent evidence that the 8->32 decay is
+        # shared-JVM allocation, not the dataflow (Python workers are
+        # separate processes)
+        ("arrow", 8, n_large), ("arrow", 32, n_large),
+    ]
     for _ in range(rounds):
-        for cores, n in plan:
+        for impl, cores, n in plan:
             r = subprocess.run(
-                [sys.executable, __file__, "--one-scale", str(cores), str(n)],
+                [sys.executable, __file__, "--one-scale", str(cores), str(n), impl],
                 capture_output=True, text=True, cwd=REPO, timeout=1800,
             )
             line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
             res = json.loads(line)
-            key = (cores, n)
+            key = (impl, cores, n)
             if key not in best or res["sec"] < best[key]["sec"]:
                 best[key] = res
-    eff_2_8 = round(best[(8, n_small)]["docs_per_sec"] / (4 * best[(2, n_small)]["docs_per_sec"]), 3)
-    eff_8_32 = round(best[(32, n_large)]["docs_per_sec"] / (4 * best[(8, n_large)]["docs_per_sec"]), 3)
+
+    def _eff(impl, ca, na, cb, nb):
+        a, b = best.get((impl, ca, na)), best.get((impl, cb, nb))
+        if not a or not b:
+            return None
+        return round(b["docs_per_sec"] / (4 * a["docs_per_sec"]), 3)
+
+    eff_2_8 = _eff("catalyst", 2, n_small, 8, n_small)
+    eff_8_32 = _eff("catalyst", 8, n_large, 32, n_large)
+    arrow_8_32 = _eff("arrow", 8, n_large, 32, n_large)
     try:
         load1 = round(os.getloadavg()[0], 1)
     except OSError:
         load1 = None
     report = {
         "metric": "N->4N scaling efficiency (fixed work per pair, min over interleaved reps)",
-        "results": {f"local{c}_n{n}": best[(c, n)] for c, n in plan},
+        "results": {
+            (f"local{c}_n{n}" if i == "catalyst" else f"arrow{c}_n{n}"): best[(i, c, n)]
+            for i, c, n in plan if (i, c, n) in best
+        },
         "efficiency_2_to_8": eff_2_8,
         "efficiency_8_to_32": eff_8_32,
+        "arrow_efficiency_8_to_32": arrow_8_32,
         "target": 0.8,
-        "pass_2_to_8": eff_2_8 >= 0.8,
-        "pass_8_to_32": eff_8_32 >= 0.8,
+        "pass_2_to_8": bool(eff_2_8 and eff_2_8 >= 0.8),
+        "pass_8_to_32": bool(eff_8_32 and eff_8_32 >= 0.8),
         "cotenant_load_avg": load1,
         "note": "shared machine: co-tenant load caps the 32-core config; "
                 "the 2->8 pair fits in free capacity and is the clean signal",
@@ -203,7 +227,8 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--one-scale":
-        print(json.dumps(run_one_scale(int(sys.argv[2]), int(sys.argv[3]))))
+        impl = sys.argv[4] if len(sys.argv) > 4 else "catalyst"
+        print(json.dumps(run_one_scale(int(sys.argv[2]), int(sys.argv[3]), impl=impl)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         run_scaling(
             int(sys.argv[2]) if len(sys.argv) > 2 else 300_000,

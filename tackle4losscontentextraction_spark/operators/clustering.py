@@ -50,17 +50,30 @@ def assign_to_clusters(
 ) -> DataFrame:
     """(vec_id, cluster_id, cosine) for vectors whose best centroid
     clears the threshold. clusters: (cluster_id, centroid, member_count).
-    """
+
+    The per-vector argmax is a hash aggregate over min(struct(-cos,
+    cluster_id)) rather than a window rank: partial (map-side) combine
+    reduces the N×k scored rows to N before the shuffle, which a
+    window cannot do. Tie-break matches ORDER BY cos DESC, id ASC."""
     sim = vec_fn.cosine_similarity(
         F.col(vec_col).cast("array<double>"), F.col("centroid").cast("array<double>")
     )
-    w = Window.partitionBy(vec_id).orderBy(F.desc("cos_raw"), F.asc("cluster_id"))
-    return (
+    scored = (
         vectors.crossJoin(F.broadcast(clusters.select("cluster_id", "centroid")))
-        .withColumn("cos_raw", sim)
-        .withColumn("rk", F.row_number().over(w))
-        .where((F.col("rk") == 1) & (F.col("cos_raw") > threshold))
-        .select(vec_id, "cluster_id", F.col("cos_raw").alias("cosine"))
+        .select(
+            vec_id,
+            F.struct((-sim).alias("neg_cs"), F.col("cluster_id").alias("cluster_id")).alias("sc"),
+        )
+    )
+    return (
+        # NULL cosines (dim-mismatch centroids) must not win the min —
+        # struct ordering puts NULL fields first, unlike DESC NULLS LAST
+        scored.where(F.col("sc.neg_cs").isNotNull())
+        .groupBy(vec_id)
+        .agg(F.min("sc").alias("best"))
+        .select(vec_id, F.col("best.cluster_id").alias("cluster_id"),
+                (-F.col("best.neg_cs")).alias("cosine"))
+        .where(F.col("cosine") > threshold)
     )
 
 

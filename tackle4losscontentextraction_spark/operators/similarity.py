@@ -55,18 +55,29 @@ def brute_force_topk(
     )
 
 
+def _argmax_cell(normed: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, v, cell_id) — nearest centroid per vector WITHOUT a window:
+    a per-vid window would shuffle all N×k scored rows; min(struct(-cos,
+    cell_id)) is a hash aggregate with map-side partial combine, so only
+    N pre-reduced rows hit the exchange. Tie-break identical to the
+    window ORDER BY (cos DESC, cell_id ASC) via lexicographic struct
+    ordering."""
+    scored = normed.crossJoin(F.broadcast(centroids)).select(
+        "vid", "v",
+        F.struct(
+            (-vec_fn.dot(F.col("v"), F.col("centroid"))).alias("neg_cs"),
+            F.col("cell_id").alias("cell_id"),
+        ).alias("sc"),
+    )
+    return scored.groupBy("vid").agg(
+        F.min("sc").alias("best"), F.first("v").alias("v")
+    ).select("vid", "v", F.col("best.cell_id").alias("cell_id"))
+
+
 def cells_from_centroids(vectors: DataFrame, centroids: DataFrame,
                          id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest coarse centroid (cell_id)."""
-    normed = _normalized(vectors, id_col, vec_col)
-    w = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cell_id"))
-    return (
-        normed.crossJoin(F.broadcast(centroids))
-        .withColumn("cs", vec_fn.dot(F.col("v"), F.col("centroid")))
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vid", "v", "cell_id")
-    )
+    return _argmax_cell(_normalized(vectors, id_col, vec_col), centroids)
 
 
 def kmeans_fit(
@@ -79,8 +90,9 @@ def kmeans_fit(
     cells — reproducible across engines, no RNG. Each iteration:
 
       1. assign: every vector to its argmax-cosine centroid — the
-         centroid set is O(k), broadcast; assignment is one map-side
-         pass + a per-vector window rank (no data shuffle);
+         centroid set is O(k), broadcast; the argmax is a hash
+         aggregate with map-side combine (see _argmax_cell — no
+         window, no N×k shuffle);
       2. update: new centroid = elementwise mean of the cell's member
          vectors (posexplode + hash agg — the same shape as
          update_centroids), re-normalized (spherical k-means).
@@ -101,14 +113,7 @@ def kmeans_fit(
         .select(F.col("cell_id").cast("bigint").alias("cell_id"), F.col("v").alias("centroid"))
     )
     for _ in range(iters):
-        w = Window.partitionBy("vid").orderBy(F.desc("cs"), F.asc("cell_id"))
-        assigned = (
-            normed.crossJoin(F.broadcast(cents))
-            .withColumn("cs", vec_fn.dot(F.col("v"), F.col("centroid")))
-            .withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("cell_id", "v")
-        )
+        assigned = _argmax_cell(normed, cents).select("cell_id", "v")
         means = (
             assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
