@@ -201,50 +201,62 @@ def jaccard_pairs(
     Skew guard (``max_df``): a shingle present in k docs contributes k²
     join rows, and natural-language shingle frequencies are Zipfian —
     one hot shingle ("of the nfl") can dominate the whole job. Shingles
-    with document frequency > max_df are dropped from the shingle SETS
-    (numerator AND denominator, so the measure stays a true Jaccard
-    over the filtered sets); near-ubiquitous shingles carry ~zero
-    discrimination, exactly like stopwords in IR. This bounds per-key
-    join cardinality at max_df² and is what makes the operator safe at
-    100 TB. ``max_df=None`` restores unfiltered exact Jaccard.
+    with document frequency > max_df are dropped BEFORE the pairing
+    (|A∩B| counts only discriminative shingles; |A| and |B| stay the
+    full set sizes, so hot-shingle overlap deflates — never inflates —
+    the similarity: a conservative estimate for dedup). This bounds
+    per-key pair cardinality at max_df² and is what makes the operator
+    safe at 100 TB. ``max_df=None`` restores exact Jaccard.
 
-    The df filter is a window count over the same shingle-hash
-    partitioning the join needs, so it adds no extra shuffle of the
-    posting list.
+    Physical shape (the minhash bucket pattern): the posting list —
+    (doc_id, n_sh) struct per shingle — shuffles ONCE, on the shingle,
+    into buckets via groupBy + collect_set; a posting×posting self-join
+    would shuffle the string postings twice and recompute the shingling
+    lineage per side. Pairs are expanded in-bucket (bounded by max_df²)
+    carrying both set sizes with them, so the pair aggregation is the
+    ONLY other shuffle and no size-lookup join exists at all.
     """
-    from pyspark.sql.window import Window
-
-    sh = docs.select(
+    # barrier: the shingle HOF tree feeds BOTH size() and explode();
+    # Generate consumers get no expression CSE, so without forced
+    # materialization the whole shingling pass is inlined twice
+    sh = barrier_fn(docs.select(
         F.col(id_col).alias("doc_id"),
         word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ))
+    posting = sh.select(
+        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+        F.explode("shingles").alias("shingle"),
     )
-    posting = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    buckets = posting.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("m")).alias("ms")
+    )
+    buckets = buckets.where(F.size("ms") > 1)
     if max_df is not None:
-        posting = (
-            posting.withColumn("_df", F.count("*").over(Window.partitionBy("shingle")))
-            .where(F.col("_df") <= max_df)
-            .drop("_df")
+        buckets = buckets.where(F.size("ms") <= max_df)
+    ms = F.col("ms")
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"), y["doc_id"].alias("id_b"),
+                    x["n_sh"].alias("n_sh_a"), y["n_sh"].alias("n_sh_b"),
+                ),
+            ),
         )
-    # set sizes AFTER the df filter so |A|, |B| and |A∩B| describe the
-    # same (filtered) sets
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    posting = posting.join(sizes, "doc_id")
-    other = posting.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_sh_b"), "shingle"
     )
     inter = (
-        posting.join(other, "shingle")
-        .where(F.col("doc_id") < F.col("doc_id_b"))
-        .groupBy("doc_id", "doc_id_b", "n_sh", "n_sh_b")
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"),
+            F.col("p.n_sh_a").alias("n_sh_a"), F.col("p.n_sh_b").alias("n_sh_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    jac = F.col("n_inter") / (F.col("n_sh") + F.col("n_sh_b") - F.col("n_inter"))
+    jac = F.col("n_inter") / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
     return (
-        inter.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("doc_id_b").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
-        )
+        inter.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

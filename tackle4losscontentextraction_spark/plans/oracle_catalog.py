@@ -127,10 +127,11 @@ sh0 AS (
   FROM w, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) t(i)
 ),
 -- document-frequency cap (mirrors the Spark operator's max_df=100 skew
--- guard): near-ubiquitous shingles are dropped from the shingle sets
+-- guard): near-ubiquitous shingles are dropped before the PAIRING;
+-- |A| and |B| stay full set sizes (conservative similarity estimate)
 df AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 100),
 sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN df USING (s)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
   FROM sh a JOIN sh b USING (s)
