@@ -114,3 +114,44 @@ def test_jaccard_hot_shingle_cap(spark):
     # uncapped: the hot shingle pairs everything
     out_full = dedup.jaccard_pairs(docs, shingle_n=3, threshold=0.1, max_df=None)
     assert out_full.count() > len(pairs)
+
+
+def test_upsert_plan_single_broadcast_join(spark):
+    from tackle4losscontentextraction_spark.plans.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["upsert_docs"](spark, "/root/testdata/sf0.001")
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.count("Join") == 1, "upsert is exactly one anti-join"
+    plan = _executed(df)
+    # (AQE's executed-plan string can render the broadcast join twice —
+    # stage + final plan — so assert kind, not count)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_jaccard_plan_shuffle_bound(spark):
+    """The bucketed jaccard must keep to its two data shuffles (shingle
+    buckets + pair aggregation; +1 for the input repartition here) and
+    never join for sizes."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
+    from tackle4losscontentextraction_spark.operators import dedup
+
+    df = dedup.jaccard_pairs(d, shingle_n=3, threshold=0.1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "size lookup must ride the buckets, not a join"
+    assert plan.count("Exchange") <= 3
+
+
+def test_kmeans_and_assign_have_no_window(spark):
+    """Argmax paths must be map-side-combinable aggregates, not windows
+    (a per-vector window shuffles all NxK scored rows)."""
+    from tackle4losscontentextraction_spark.operators import clustering, similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = similarity.kmeans_fit(e, k=2, iters=1)
+    assert "Window" not in cents._jdf.queryExecution().optimizedPlan().toString()
+
+    clusters = cents.select(F.col("cell_id").cast("string").alias("cluster_id"),
+                            "centroid", F.lit(2).alias("member_count"))
+    assigned = clustering.assign_to_clusters(e, clusters, threshold=0.0)
+    assert "Window" not in assigned._jdf.queryExecution().optimizedPlan().toString()
