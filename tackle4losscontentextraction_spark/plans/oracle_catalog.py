@@ -670,6 +670,57 @@ SELECT cell_id, unnest(range(0, len(centroid)))::BIGINT AS pos,
 FROM c2
 """
 
+# end-to-end learned IVF: the kmeans CTE chain (c2 = fitted, normalized
+# centroids) feeding the ann_ivf probe/score/rank pattern
+ORACLES["ann_ivf_kmeans"] = f"""
+WITH v0 AS (SELECT vec_id::BIGINT AS vid, list_transform(embedding, x -> x::DOUBLE) AS raw FROM embeddings),
+u AS (
+  SELECT vid,
+         CASE WHEN nv = 0 THEN raw ELSE list_transform(raw, x -> x / nv) END AS v
+  FROM (SELECT vid, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nv FROM v0)
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vid) - 1)::BIGINT AS cell_id, v AS centroid
+  FROM (SELECT vid, v FROM u ORDER BY vid LIMIT 4)
+),
+{_KM_STEP.format(i=1, prev=0, norm=_KM_NORM.format(src="m1"))},
+{_KM_STEP.format(i=2, prev=1, norm=_KM_NORM.format(src="m2"))},
+cells AS (
+  SELECT vid, v, cell_id FROM (
+    SELECT u.vid, u.v, c.cell_id,
+           row_number() OVER (
+             PARTITION BY u.vid
+             ORDER BY list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * c.centroid[i])) DESC,
+                      c.cell_id ASC) AS r
+    FROM u, c2 c
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT qid, qv, cell_id FROM (
+    SELECT u.vid AS qid, u.v AS qv, c.cell_id,
+           row_number() OVER (
+             PARTITION BY u.vid
+             ORDER BY list_sum(list_transform(range(1, len(u.v) + 1), i -> u.v[i] * c.centroid[i])) DESC,
+                      c.cell_id ASC) AS pr
+    FROM u, c2 c
+    WHERE u.vid < 5
+  ) WHERE pr <= 2
+),
+scored AS (
+  SELECT p.qid, cl.vid AS neighbor,
+         list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * cl.v[i])) AS cos_raw
+  FROM probes p JOIN cells cl USING (cell_id)
+  WHERE p.qid <> cl.vid
+),
+ranked AS (
+  SELECT qid, neighbor, cos_raw,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_raw DESC, neighbor ASC)::BIGINT AS rk
+  FROM scored
+)
+SELECT qid, neighbor, round(cos_raw, 6) AS cosine, rk
+FROM ranked WHERE rk <= 5
+"""
+
 ORACLES["date_normalize_fuzzy"] = f"""
 WITH {oracles.spans_cte()},
 {oracles._doc_agg_cte()}

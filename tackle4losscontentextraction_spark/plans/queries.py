@@ -893,8 +893,21 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("cell_id", F.col("pos").cast("bigint").alias("pos"), F.round("val", 6).alias("val"))
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end learned IVF: spherical k-means coarse quantizer (k=4,
+    2 Lloyd's iterations) feeding the nprobe=2 cell-probe ANN — the full
+    production ANN pipeline, oracle-gated."""
+    from ..operators import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(e, k=4, iters=2)
+    queries_df = e.where(F.col("vec_id") < 5)
+    return similarity.ivf_topk(e, queries_df, cents, k=5, nprobe=2)
+
+
 SPARK_QUERIES.update({
     "kmeans_centroids": q_kmeans_centroids,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "upsert_docs": q_upsert_docs,
     "update_columns": q_update_columns,
     "zero_centroid_repair": q_zero_centroid_repair,

@@ -90,3 +90,57 @@ def test_merge_write_update_mode(spark, tmp_path):
     assert len(rows) == 50
     assert rows[10].lang == "de" and rows[10].text == "t"
     assert rows[11].lang == "en"
+
+
+# ---------------------------------------------------------------------------
+# property-based merge semantics (hypothesis): the dataflow halves must
+# satisfy the algebra a storage MERGE relies on
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_rows_st = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=30),
+    values=st.text(alphabet="abcxyz", min_size=0, max_size=5),
+    min_size=0, max_size=12,
+)
+
+
+def _df(spark, d):
+    return spark.createDataFrame(
+        [(k, v) for k, v in sorted(d.items())] or [(None, None)],
+        "doc_id bigint, text string",
+    ).where(F.col("doc_id").isNotNull())
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=_rows_st, source=_rows_st)
+def test_upsert_equals_dict_update(spark, target, source):
+    """upsert == Python dict.update: source wins on conflicts, union of
+    keys, no duplicates, and applying the same batch twice is a no-op."""
+    out = merge_ops.upsert(_df(spark, target), _df(spark, source))
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert out.count() == len(got), "keys must stay unique"
+    expected = dict(target)
+    expected.update(source)
+    assert got == expected
+    # idempotence
+    again = {r.doc_id: r.text for r in merge_ops.upsert(out, _df(spark, source)).collect()}
+    assert again == expected
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(target=_rows_st, updates=_rows_st)
+def test_update_columns_never_changes_keyset(spark, target, updates):
+    out = merge_ops.update_columns(_df(spark, target), _df(spark, updates))
+    got = {r.doc_id: r.text for r in out.collect()}
+    assert set(got) == set(target), "partial update must not add/drop rows"
+    for k, v in target.items():
+        exp = updates[k] if k in updates and updates[k] != "" else v
+        # empty-string updates exercise the non-NULL overwrite path
+        if k in updates and updates[k] == "":
+            exp = ""  # matched row takes the update value
+        assert got[k] == exp, k
