@@ -82,33 +82,42 @@ def run_bench() -> None:
     # the 10^12 design point; the tiny sf dir is overhead-dominated)
     from pyspark.sql import functions as SF
 
-    from tackle4losscontentextraction_spark.operators import extraction
+    from tackle4losscontentextraction_spark.operators import extraction, extraction_arrow
     from tackle4losscontentextraction_spark.sources import synth
 
     n_big = int(os.environ.get("T4L_BENCH_DOCS", "200000"))
     big = synth.synth_docs(spark, n_big, partitions=max(4 * CPUS, 64)).cache()
     big.count()
-    best = 1e18
-    for _ in range(3):
-        t0 = time.perf_counter()
-        extraction.extract(big).agg(
-            SF.count("*"), SF.sum("content_chars")
-        ).collect()
-        best = min(best, time.perf_counter() - t0)
-    docs_per_sec = round(n_big / best, 1)
+    # the Catalyst HOF path and the Arrow mapInPandas twin are
+    # row-for-row equal implementations of the same operator; a user
+    # runs whichever is faster on their hardware, so the headline is
+    # the better of the two. Reps alternate impls, which also
+    # interleaves against co-tenant load bursts on this shared box.
+    best = {"catalyst": 1e18, "arrow": 1e18}
+    impls = {"catalyst": extraction.extract, "arrow": extraction_arrow.extract_arrow}
+    for _ in range(4):
+        for name, fn in impls.items():
+            t0 = time.perf_counter()
+            fn(big).agg(SF.count("*"), SF.sum("content_chars")).collect()
+            best[name] = min(best[name], time.perf_counter() - t0)
+    best_impl = min(best, key=best.get)
+    docs_per_sec = round(n_big / best[best_impl], 1)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "documents/sec extraction throughput (full extraction over "
-                  f"{n_big}-doc synthetic span corpus, min of 3)",
+                  f"{n_big}-doc synthetic span corpus, best impl, min of 4)",
         "value": docs_per_sec,
         "unit": "docs/sec",
         "queries": timings,
         "total_sec": total,
         "n_docs": n_docs,
         "bench_docs": n_big,
-        "extract_sec": round(best, 3),
+        "extract_sec": round(best[best_impl], 3),
+        "extract_impl": best_impl,
+        "extract_sec_catalyst": round(best["catalyst"], 3),
+        "extract_sec_arrow": round(best["arrow"], 3),
         "sf": float(sf),
         "cpus": CPUS,
     }))
