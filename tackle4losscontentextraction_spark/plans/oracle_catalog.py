@@ -670,6 +670,35 @@ SELECT cell_id, unnest(range(0, len(centroid)))::BIGINT AS pos,
 FROM c2
 """
 
+# multimodal decode: the deterministic FNV-style kernel
+# (multimodal._fake_decode) re-expressed over the media refs' ASCII
+# bytes — list_reduce with the same 32-bit multiply-accumulate
+ORACLES["media_decode"] = f"""
+WITH {oracles.spans_cte()},
+media AS (
+  SELECT did || '#' || out_offset::VARCHAR AS media_id, media_ref
+  FROM (
+    SELECT did, media_ref,
+           (row_number() OVER (PARTITION BY did ORDER BY i, sub) - 1) AS out_offset
+    FROM expanded
+  )
+  WHERE media_ref <> ''
+),
+bytes AS (
+  SELECT media_id,
+         list_transform(range(1, least(length(media_ref), 256) + 1),
+                        i -> ord(substr(media_ref, i::INT, 1))) AS bs
+  FROM media
+)
+SELECT media_id,
+       t.j::BIGINT AS pos,
+       round(((list_reduce(list_prepend(xor(2166136261::BIGINT, t.j), bs),
+                           (a, b) -> (a * 16777619 + b) & 4294967295)) % 10000)
+             / 10000.0, 6) AS val,
+       true AS ok
+FROM bytes, LATERAL unnest(range(0, 16)) t(j)
+"""
+
 # end-to-end learned IVF: the kmeans CTE chain (c2 = fitted, normalized
 # centroids) feeding the ann_ivf probe/score/rank pattern
 ORACLES["ann_ivf_kmeans"] = f"""

@@ -905,9 +905,29 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(e, queries_df, cents, k=5, nprobe=2)
 
 
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: media spans -> typed media table
+    (binary payload column) -> Arrow mapInPandas decode -> feature
+    vectors. The decode kernel is the documented deterministic stand-in
+    (operators/multimodal.py), which makes the whole path — schema,
+    batching, UDF signature — oracle-checkable, not just unit-tested."""
+    from ..operators import multimodal
+
+    out = _extracted(spark, sf_dir)
+    media = multimodal.synth_media_table(out)
+    feats = multimodal.decode_image_batch(media)
+    return feats.select(
+        "media_id",
+        F.posexplode("feature").alias("pos", "val"),
+        "ok",
+    ).select("media_id", F.col("pos").cast("bigint").alias("pos"),
+             F.round("val", 6).alias("val"), "ok")
+
+
 SPARK_QUERIES.update({
     "kmeans_centroids": q_kmeans_centroids,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
+    "media_decode": q_media_decode,
     "upsert_docs": q_upsert_docs,
     "update_columns": q_update_columns,
     "zero_centroid_repair": q_zero_centroid_repair,
