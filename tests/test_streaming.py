@@ -68,3 +68,46 @@ def test_windowed_metrics_stream(spark, dirs):
     # arrives in one trigger so late windows may be withheld — assert
     # schema + non-negative counts rather than totals
     assert set(got.columns) == {"window_start", "content_type", "n_docs", "spans_kept"}
+
+
+def test_stream_merge_sink_upserts(spark, dirs):
+    """foreachBatch MERGE sink: streamed micro-batches upsert into the
+    bucketed table; final state equals a batch upsert of all rows, and
+    a checkpointed restart re-merges nothing."""
+    from tackle4losscontentextraction_spark.streaming import merge_sink
+
+    docs = synth.synth_docs(spark, 80, partitions=2).withColumn(
+        "ingest_ts", F.timestamp_seconds(F.lit(1700000000))
+    )
+    base = docs.select("doc_id", F.lit("v1").alias("status"))
+    # seed: v1 for the first half
+    from tackle4losscontentextraction_spark.operators import merge as merge_ops
+    merge_ops.merge_write(
+        spark, f"{dirs}/table", base.where(F.col("doc_id") < "d0000040"), n_buckets=4
+    )
+
+    # stream: v2 rows for ALL 80 docs, delivered in 1-file micro-batches
+    docs.select("doc_id", F.lit("v2").alias("status")).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(f"{dirs}/stream_in")
+    stream = (
+        spark.readStream.schema("doc_id string, status string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dirs}/stream_in")
+    )
+    q = merge_sink.start_merge_sink(stream, f"{dirs}/table", f"{dirs}/ckpt", n_buckets=4)
+    q.awaitTermination(120)
+
+    final = spark.read.parquet(f"{dirs}/table")
+    assert final.count() == 80
+    assert final.where(F.col("status") != "v2").count() == 0, "all rows upserted to v2"
+
+    # restart on the same checkpoint: nothing replays, table unchanged
+    stream2 = (
+        spark.readStream.schema("doc_id string, status string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dirs}/stream_in")
+    )
+    q2 = merge_sink.start_merge_sink(stream2, f"{dirs}/table", f"{dirs}/ckpt", n_buckets=4)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(f"{dirs}/table").count() == 80
