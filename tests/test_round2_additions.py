@@ -149,9 +149,14 @@ def test_kmeans_and_assign_have_no_window(spark):
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = similarity.kmeans_fit(e, k=2, iters=1)
-    assert "Window" not in cents._jdf.queryExecution().optimizedPlan().toString()
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one window is allowed: the init's row_number over the k
+    # seed rows (bounded by LIMIT k); the N-row assignment must not add one
+    assert plan.count("Window [") == 1 and "GlobalLimit" in plan
 
-    clusters = cents.select(F.col("cell_id").cast("string").alias("cluster_id"),
-                            "centroid", F.lit(2).alias("member_count"))
+    clusters = spark.createDataFrame(
+        [("a", [1.0] * 32, 2), ("b", [-1.0] * 32, 2)],
+        "cluster_id string, centroid array<double>, member_count bigint",
+    )
     assigned = clustering.assign_to_clusters(e, clusters, threshold=0.0)
     assert "Window" not in assigned._jdf.queryExecution().optimizedPlan().toString()
