@@ -35,3 +35,40 @@ def salted_count(
         .agg(F.count("*").alias("c"))
     )
     return phase1.groupBy("grp").agg(F.sum("c").cast("bigint").alias("n"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    row_key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of a Zipfian ``big`` side against a ``small``
+    side too large to broadcast outright.
+
+    The classic salt: the big side's hot key would funnel into one
+    reducer of a shuffled join, so each big row gets a deterministic
+    salt (hash of its row_key, NOT a random — keeps the plan
+    re-executable/resumable), and the small side is exploded ``buckets``
+    ways so every (key, salt) pair still finds its match. The hot key's
+    rows now spread across ``buckets`` reducers; small pays a
+    buckets-fold replication, which is the explicit trade.
+
+    Use when AQE's runtime skew-join split can't help: e.g. the skew is
+    in an aggregation-feeding join that AQE sees only after a merge of
+    already-oversized partitions, or the join is bucketed/sort-merge
+    where split points are pinned. Otherwise prefer plain join + AQE
+    (on in session.py).
+
+    Result is row-identical to ``big.join(small, key, how)`` (oracle:
+    `salted_domain_join`). Supports inner and left joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salted_big = with_salt(big, row_key, buckets)
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_big.join(replicated, [key, "_salt"], how).drop("_salt")

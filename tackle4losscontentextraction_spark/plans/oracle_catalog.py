@@ -670,6 +670,18 @@ SELECT cell_id, unnest(range(0, len(centroid)))::BIGINT AS pos,
 FROM c2
 """
 
+ORACLES["salted_domain_join"] = f"""
+WITH {oracles.spans_cte()},
+d AS (
+  SELECT did AS doc_id,
+         regexp_extract(replace(url, '%3A', ':'), '^https?://([^/]+)', 1) AS domain
+  FROM doc_base
+)
+SELECT doc_id, domain,
+       CASE WHEN domain = 'www.espn.com' THEN 'hot' ELSE 'cold' END AS category
+FROM d
+"""
+
 # multimodal decode: the deterministic FNV-style kernel
 # (multimodal._fake_decode) re-expressed over the media refs' ASCII
 # bytes — list_reduce with the same 32-bit multiply-accumulate

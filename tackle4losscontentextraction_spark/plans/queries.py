@@ -924,10 +924,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round("val", 6).alias("val"), "ok")
 
 
+def q_salted_domain_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join of the Zipfian doc->domain table (espn.com holds
+    ~30% of docs) against a domain dim via explicit salting; result is
+    row-identical to the plain join."""
+    from ..functions import urls as url_fn
+    from ..operators import skew
+
+    docs = _docs(spark, sf_dir)
+    big = docs.select(
+        "doc_id", url_fn.url_domain(url_fn.normalize_url(F.col("url"))).alias("domain")
+    )
+    small = big.select("domain").distinct().withColumn(
+        "category",
+        F.when(F.col("domain") == "www.espn.com", F.lit("hot")).otherwise(F.lit("cold")),
+    )
+    out = skew.salted_join(big, small, key="domain", row_key="doc_id", buckets=8)
+    return out.select("doc_id", "domain", "category")
+
+
 SPARK_QUERIES.update({
     "kmeans_centroids": q_kmeans_centroids,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "media_decode": q_media_decode,
+    "salted_domain_join": q_salted_domain_join,
     "upsert_docs": q_upsert_docs,
     "update_columns": q_update_columns,
     "zero_centroid_repair": q_zero_centroid_repair,

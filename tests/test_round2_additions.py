@@ -160,3 +160,20 @@ def test_kmeans_and_assign_have_no_window(spark):
     )
     assigned = clustering.assign_to_clusters(e, clusters, threshold=0.0)
     assert "Window" not in assigned._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark):
+    from tackle4losscontentextraction_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 3 else "cold%d" % (i % 5)) for i in range(60)],
+        "row_id bigint, key string",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("cold1", 2), ("absent", 9)], "key string, val bigint"
+    )
+    for how in ("inner", "left"):
+        salted = skew.salted_join(big, small, key="key", row_key="row_id",
+                                  buckets=4, how=how)
+        plain = big.join(small, "key", how)
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect())), how
