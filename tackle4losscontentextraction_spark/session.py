@@ -37,7 +37,10 @@ def get_spark(
     gc_opts = os.environ.get("T4L_GC_OPTS", "-XX:+UseG1GC")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        # local[N, 2]: two task attempts — local mode defaults to ONE
+        # (no retries), unlike a real cluster's spark.task.maxFailures=4;
+        # R2 (SURVEY §2.10) reliability parity for transient failures
+        .master(f"local[{cores}, 2]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
