@@ -92,6 +92,20 @@ def run_with_resume(
     if not pending:
         return {"processed": [], "skipped": skipped, "rows": 0}
 
+    # a pending bucket's directory, if present, is by definition an
+    # uncommitted leftover from a crashed attempt (done buckets are
+    # never pending). Clear them up front: dynamic overwrite only
+    # replaces partitions PRESENT in the new output, so a transform
+    # legitimately yielding 0 rows for a bucket would otherwise leave
+    # the garbage in place under a fresh 'done' lineage row.
+    # (local-FS delete; on HDFS/S3 this is the same delete via the
+    # Hadoop FileSystem API — or free with Iceberg, where uncommitted
+    # files are simply not in any snapshot.)
+    import shutil
+
+    for b in pending:
+        shutil.rmtree(os.path.join(out_dir, f"bucket={b}"), ignore_errors=True)
+
     bucketed = with_bucket(df, key, n_buckets)
     part = transform(bucketed.where(F.col("bucket").isin(pending)))
     part = with_bucket(part, key, n_buckets)

@@ -63,3 +63,28 @@ def test_partial_failure_resume(spark, tmpdirs):
     # every doc exactly once (no reprocessing duplicates)
     ids = spark.read.parquet(out_dir).select("doc_id")
     assert ids.distinct().count() == 120
+
+
+def test_resume_clears_stale_partial_bucket(spark, tmpdirs):
+    """A crashed attempt's garbage in a pending bucket dir must not
+    survive resume — even when the new run emits 0 rows for it."""
+    out_dir, lin_dir = tmpdirs
+    docs = synth.synth_docs(spark, 80, partitions=2)
+
+    # fake a crashed attempt: garbage parquet in bucket 1, NO lineage row
+    spark.range(5).selectExpr("cast(id as string) as doc_id").write.parquet(
+        f"{out_dir}/bucket=1"
+    )
+
+    def drop_bucket1(df):
+        # transform that yields nothing for bucket 1
+        return extraction.extract(df.where(F.col("bucket") != 1))
+
+    r = lineage.run_with_resume(
+        spark, docs, drop_bucket1, out_dir, lin_dir, n_buckets=4
+    )
+    assert sorted(r["processed"]) == [0, 1, 2, 3]
+    got = spark.read.parquet(out_dir)
+    # garbage gone; bucket 1 contributes zero rows, others complete
+    assert got.where(F.col("bucket") == 1).count() == 0
+    assert got.count() == r["rows"]
