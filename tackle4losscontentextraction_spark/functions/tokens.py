@@ -1,11 +1,18 @@
 """Token counting and text chunking.
 
 Reference ``num_tokens``/``chunk_text`` (extractContent.py:120-133) use
-tiktoken. tiktoken is not in this environment, so:
+tiktoken. tiktoken (and its downloaded vocab) is not in this
+environment, so:
 
 - :func:`token_count_ws` — whitespace tokens (JVM-side).
 - :func:`token_count_bpe_regex` — BPE-ish regex token count (the GPT-2
   pre-tokenizer word/number/punct split), JVM-side via ``regexp_count``.
+- :func:`token_count_bpe` — REAL byte-pair-encoding token count over a
+  small vendored merge table (:data:`BPE_MERGES`): characters are the
+  initial symbols and merge rules apply in rank order, exactly the
+  reference BPE encode algorithm, just with a 64-rule table instead of
+  tiktoken's 50k. Deterministic, pure string ops (JVM codegen, no
+  Python worker), and bit-identical in DuckDB/Python for the oracle.
 - :func:`token_count_proxy` — chars/4 heuristic for chunk planning.
 - :func:`chunk_text_by_tokens` — windowed slices of ~max_tokens words
   (array of chunks; per-row, no shuffle).
@@ -30,6 +37,76 @@ def token_count_ws(col: Column) -> Column:
 
 def token_count_bpe_regex(col: Column) -> Column:
     return F.regexp_count(col, F.lit(BPE_TOKEN_REGEX))
+
+
+# Vendored BPE merge table, rank-ordered (highest priority first) — the
+# stand-in for tiktoken's learned merges (extractContent.py:120-125).
+# Any fixed ordered pair list is a valid BPE vocabulary; this one covers
+# frequent English digraphs so common words compress realistically
+# ("the" -> 1 token, "and" -> 1, "extraction" -> ~4). Merges may chain
+# (("t","h") then ("th","e")); a rule whose sides aren't current symbols
+# simply never fires, exactly like unused vocab entries.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("h", "e"), ("a", "t"), ("e", "n"),
+    ("an", "d"), ("o", "r"), ("e", "s"), ("s", "t"), ("a", "r"),
+    ("o", "u"), ("i", "t"), ("i", "s"), ("e", "d"), ("a", "l"),
+    ("in", "g"), ("t", "o"), ("o", "f"), ("c", "o"), ("l", "e"),
+    ("m", "e"), ("r", "o"), ("a", "s"), ("i", "c"), ("l", "l"),
+    ("e", "a"), ("c", "h"), ("s", "e"), ("u", "r"), ("w", "h"),
+    ("o", "w"), ("l", "y"), ("v", "e"), ("b", "e"), ("s", "p"),
+    ("d", "a"), ("t", "a"), ("q", "u"), ("qu", "er"), ("qu", "e"),
+    ("r", "y"), ("j", "o"), ("jo", "in"), ("w", "in"), ("win", "d"),
+    ("s", "c"), ("sc", "an"), ("m", "er"), ("mer", "g"), ("merg", "e"),
+    ("i", "l"), ("f", "il"), ("fil", "t"), ("filt", "er"), ("g", "r"), ("gr", "ou"),
+    ("grou", "p"), ("s", "or"), ("sor", "t"), ("h", "as"), ("has", "h"),
+]
+
+# symbol delimiter: each symbol is wrapped as \x01sym\x01, so the merge
+# pattern \x01a\x01\x01b\x01 can never match inside a longer symbol and
+# adjacent matches never share a boundary character (a plain
+# space-joined encoding would wrongly merge "st h" via rule "t h", and
+# consecutive pairs would alternate-miss because the shared space is
+# consumed by the previous replacement).
+_D = "\x01"
+
+
+def token_count_bpe(col: Column, merges: list[tuple[str, str]] | None = None) -> Column:
+    """BPE token count with the vendored merge table (see module doc).
+
+    Algorithm (the standard BPE encode): lowercase, collapse whitespace,
+    wrap every character as a delimited symbol, then apply each merge
+    rule in rank order as a left-to-right non-overlapping replace —
+    Java, DuckDB and Python ``replace`` all agree on that scan order, so
+    the count is engine-exact. Tokens = symbols remaining minus the
+    whitespace symbols (spaces separate words; no merge contains one, so
+    merges can never cross a word boundary).
+    """
+    if merges is None:
+        merges = BPE_MERGES
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    s = F.regexp_replace(norm, "(.)", _D + "$1" + _D)
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{_D}{a}{_D}{_D}{b}{_D}"), F.lit(f"{_D}{a}{b}{_D}"))
+    n_sym = (F.length(s) - F.length(F.replace(s, F.lit(_D), F.lit("")))) / 2
+    n_space = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    return (n_sym - n_space).cast("bigint")
+
+
+def bpe_tokens_py(text: str, merges: list[tuple[str, str]] | None = None) -> int:
+    """Pure-Python twin of :func:`token_count_bpe` (property tests /
+    pyoracle): same normalize + rank-ordered str.replace fold."""
+    if merges is None:
+        merges = BPE_MERGES
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text.strip().lower())
+    s = "".join(_D + c + _D for c in norm)
+    for a, b in merges:
+        s = s.replace(f"{_D}{a}{_D}{_D}{b}{_D}", f"{_D}{a}{b}{_D}")
+    n_sym = s.count(_D) // 2
+    n_space = norm.count(" ")
+    return n_sym - n_space
 
 
 def token_count_proxy(col: Column) -> Column:

@@ -20,12 +20,17 @@ def normalize_url(col: Column) -> Column:
       reference's unquote at article_processor.py:40-41) — java.net
       URLDecoder would turn it into a space, so it is protected as
       %2B before try_url_decode;
-    - a malformed escape anywhere ('%zz', trailing '%') leaves the
-      WHOLE string undecoded (try_url_decode -> NULL -> coalesce);
+    - a malformed escape ('%zz', trailing '%') stays LITERAL while
+      valid escapes elsewhere still decode ('a%zz%20b' -> 'a%zz b') —
+      exactly urllib.parse.unquote: each invalid '%' is protected as
+      '%25' before try_url_decode, so the decoder never sees it (the
+      old rendition bailed on the whole string, diverging from the
+      reference's unquote);
     - invalid UTF-8 percent-sequences decode to U+FFFD (both engines
       already agree on this).
     """
-    protected = F.replace(col, F.lit("+"), F.lit("%2B"))
+    protected = F.regexp_replace(col, r"%(?![0-9A-Fa-f]{2})", "%25")
+    protected = F.replace(protected, F.lit("+"), F.lit("%2B"))
     decoded = F.try_url_decode(protected)
     decoded = F.coalesce(decoded, col)
     return F.when(

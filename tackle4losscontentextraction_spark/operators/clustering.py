@@ -141,13 +141,14 @@ def new_clusters_from_pairs(
         .withColumn("cos_raw", sim)
         .where(F.col("cos_raw") > threshold)
     )
-    wa = Window.partitionBy("vid").orderBy(F.desc("cos_raw"), F.asc("vid_b"))
-    wb = Window.partitionBy("vid_b").orderBy(F.desc("cos_raw"), F.asc("vid"))
-    best = (
-        pairs.withColumn("ra", F.row_number().over(wa))
-        .withColumn("rb", F.row_number().over(wb))
-        .where((F.col("ra") == 1) & (F.col("rb") == 1))
-    )
+    # DISJOINT matching (each pending vector seeds at most one pair) —
+    # mutual-best, see _mutual_best_pairs for why two one-sided window
+    # ranks are NOT disjoint
+    mutual = _mutual_best_pairs(
+        pairs.select(F.col("vid").alias("ca"), F.col("vid_b").alias("cb"),
+                     F.col("cos_raw").alias("s"))
+    ).select(F.col("ca").alias("vid"), F.col("cb").alias("vid_b"))
+    best = mutual.join(v, "vid").join(o, "vid_b")
     return best.select(
         F.concat(F.lit("c_"), F.col("vid").cast("string"), F.lit("_"), F.col("vid_b").cast("string")).alias("cluster_id"),
         F.zip_with("v", "v_b", lambda a, b: (a + b) / 2).alias("centroid"),
@@ -164,20 +165,24 @@ def merge_clusters_fixpoint(
 
     Each pass merges disjoint best pairs above threshold; the centroid
     set shrinks geometrically so the loop is short. Working sets are
-    cluster-sized (small) — collected state is bounded."""
+    cluster-sized (small) — collected state is bounded.
+
+    Each pass starts from a localCheckpoint of the current cluster set:
+    a pass references ``cur`` three times (two self-join sides plus the
+    anti-join) and ends with ``isEmpty()`` (a full job), so without the
+    checkpoint pass k re-executes the whole k-deep lineage and the work
+    roughly doubles per pass — invisible at fixture scale, a scale-
+    killer at real cluster counts. The checkpointed state is
+    O(clusters) rows (small); eager=True materializes it as the pass's
+    single upstream job."""
     cur = clusters.select("cluster_id", F.col("centroid").cast("array<double>").alias("centroid"), "member_count")
     for _ in range(max_passes):
+        cur = cur.localCheckpoint(eager=True)
         a = cur.select(F.col("cluster_id").alias("ca"), F.col("centroid").alias("va"), F.col("member_count").alias("na"))
         b = cur.select(F.col("cluster_id").alias("cb"), F.col("centroid").alias("vb"), F.col("member_count").alias("nb"))
         sim = vec_fn.cosine_similarity(F.col("va"), F.col("vb"))
         pairs = a.crossJoin(b).where(F.col("ca") < F.col("cb")).withColumn("s", sim).where(F.col("s") > threshold)
-        wa = Window.partitionBy("ca").orderBy(F.desc("s"), F.asc("cb"))
-        wb = Window.partitionBy("cb").orderBy(F.desc("s"), F.asc("ca"))
-        chosen = (
-            pairs.withColumn("ra", F.row_number().over(wa))
-            .withColumn("rb", F.row_number().over(wb))
-            .where((F.col("ra") == 1) & (F.col("rb") == 1))
-        )
+        chosen = _mutual_best_pairs(pairs).join(a, "ca").join(b, "cb")
         if chosen.isEmpty():
             break
         merged = chosen.select(
@@ -191,6 +196,40 @@ def merge_clusters_fixpoint(
         survivors = cur.join(absorbed, "cluster_id", "left_anti")
         cur = survivors.unionByName(merged)
     return cur
+
+
+def _mutual_best_pairs(pairs: DataFrame) -> DataFrame:
+    """DISJOINT greedy matching over weighted pairs (ca < cb, score s):
+    keep (a, b) iff b is a's best partner AND a is b's — each node ends
+    up in at most one kept pair, the parallel analog of the reference's
+    sequential greedy pairing.
+
+    (The previous two-window rendition ranked within the DIRECTED pair
+    set — partition by ca and by cb separately — so a node could win as
+    ca in one pair and as cb in another; merging both double-counts its
+    members. Found by the round-3 convergence test.)
+
+    Physical shape: symmetrize the edges, per-node argmax as a hash
+    aggregate (min(struct(-s, partner)) — map-side combine, no window
+    over the edge set), then one count-2 aggregate on the undirected
+    key. Edge- and node-cardinality work only; no centroid payload.
+    """
+    sym = pairs.select("ca", "cb", "s").unionAll(
+        pairs.select(F.col("cb").alias("ca"), F.col("ca").alias("cb"), "s")
+    )
+    best = (
+        sym.groupBy("ca")
+        .agg(F.min(F.struct((-F.col("s")).alias("neg_s"), F.col("cb").alias("cb"))).alias("b"))
+        .select("ca", F.col("b.cb").alias("cb"))
+    )
+    return (
+        best.groupBy(
+            F.least("ca", "cb").alias("ca"), F.greatest("ca", "cb").alias("cb")
+        )
+        .agg(F.count("*").alias("nn"))
+        .where(F.col("nn") == 2)  # both endpoints chose each other
+        .select("ca", "cb")
+    )
 
 
 def recount_members(clusters: DataFrame, memberships: DataFrame) -> DataFrame:

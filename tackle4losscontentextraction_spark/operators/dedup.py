@@ -16,8 +16,8 @@ Scale notes (the whole point of each design):
                  not O(docs^2).
 - simhash      : 16-bit signature from per-token md5 nibble parity;
                  near-dup = equal signature (Hamming-0 bucket join) —
-                 one shuffle on a 16-bit key; optional 1-bit rotations
-                 for Hamming-1.
+                 one shuffle on a 16-bit key; Hamming-1 recall via
+                 2x8-bit pigeonhole banding (simhash_h1_pairs).
 - ngram jaccard: exact pairwise within shingle-share buckets (posting-
                  list join), not a cross join.
 - embedding    : cosine > threshold via LSH-free blocked self-join for
@@ -215,6 +215,16 @@ def jaccard_pairs(
     lineage per side. Pairs are expanded in-bucket (bounded by max_df²)
     carrying both set sizes with them, so the pair aggregation is the
     ONLY other shuffle and no size-lookup join exists at all.
+
+    The df guard is applied BEFORE the collect_set, not after: a count
+    aggregation (map-side partial combine — shuffle rows are per-
+    partition-distinct shingles with a long, never postings) finds the
+    Zipf-head shingles with df > max_df, and a left_anti join removes
+    their postings before any bucket materializes. Filtering after
+    collect_set would first build the hot shingle's full posting array
+    (millions of structs) in ONE aggregation buffer just to discard it
+    — exactly the memory spike the guard exists to prevent. The hot set
+    is tiny (the Zipf head), so AQE broadcasts the anti-join.
     """
     # barrier: the shingle HOF tree feeds BOTH size() and explode();
     # Generate consumers get no expression CSE, so without forced
@@ -227,12 +237,18 @@ def jaccard_pairs(
         F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
         F.explode("shingles").alias("shingle"),
     )
+    if max_df is not None:
+        hot = (
+            posting.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("shingle")
+        )
+        posting = posting.join(hot, "shingle", "left_anti")
     buckets = posting.groupBy("shingle").agg(
         F.array_sort(F.collect_set("m")).alias("ms")
     )
     buckets = buckets.where(F.size("ms") > 1)
-    if max_df is not None:
-        buckets = buckets.where(F.size("ms") <= max_df)
     ms = F.col("ms")
     pair_arrays = F.flatten(
         F.transform(
@@ -296,6 +312,64 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
         .where(F.col("n_docs") > 1)
+    )
+
+
+def simhash_h1_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance 1 of the 16-bit simhash.
+
+    Pigeonhole banding (the classic Hamming-LSH): split the signature
+    into two 8-bit bands; two signatures within Hamming-1 differ in at
+    most one band, so they MUST agree exactly on the other — every
+    Hamming<=1 pair collides in at least one (band, band_value) bucket
+    (perfect recall, no per-bit rotations needed: 2 keys per doc
+    instead of 17). Candidates sharing only one band can be up to
+    Hamming-8, so the exact ``bit_count(sig_a XOR sig_b) <= 1`` verify
+    filters them — candidates only, never all pairs.
+
+    Physical shape: the minhash bucket pattern — one shuffle on the
+    band key, in-bucket pair expansion (bucket sizes ~N/256 per band),
+    distinct, then a per-row popcount. Returns (id_a, id_b, hamming).
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("sig")
+    )
+    band_cols = F.array(
+        F.struct(F.lit(0).alias("band"), F.col("sig").bitwiseAND(F.lit(255)).alias("key")),
+        F.struct(F.lit(1).alias("band"), F.shiftright("sig", 8).alias("key")),
+    )
+    banded = sigs.select(
+        F.struct("doc_id", "sig").alias("m"), F.explode(band_cols).alias("bk")
+    ).select("m", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("m")).alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+    ms = F.col("ms")
+    pair_arrays = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"), y["doc_id"].alias("id_b"),
+                    x["sig"].alias("sig_a"), y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sig_a", "p.sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("bigint").alias("hamming"))
+        .where(F.col("hamming") <= 1)
     )
 
 

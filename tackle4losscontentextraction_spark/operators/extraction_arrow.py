@@ -66,16 +66,12 @@ def _clean(t: str) -> str:
     return _RE_WS.sub(" ", t).strip()
 
 
-_RE_BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
-
-
 def _url_decode(u: str) -> str:
     """Twin of functions/urls.normalize_url's decode step: '+' preserved,
-    any malformed escape leaves the WHOLE string undecoded, invalid
-    UTF-8 sequences become U+FFFD (see that docstring for the unified
-    cross-path semantics)."""
-    if _RE_BAD_ESCAPE.search(u):
-        return u
+    malformed escapes stay literal while valid %XX elsewhere still
+    decode, invalid UTF-8 sequences become U+FFFD — i.e. exactly
+    urllib.parse.unquote (the reference's call), which IS those
+    semantics natively."""
     return urllib.parse.unquote(u)
 
 

@@ -37,10 +37,10 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .. import fsutil
 
 
 def upsert(target: DataFrame, source: DataFrame, key: str = "doc_id") -> DataFrame:
@@ -48,9 +48,12 @@ def upsert(target: DataFrame, source: DataFrame, key: str = "doc_id") -> DataFra
 
     Matching target rows are replaced by the source row; unmatched
     source rows are appended (db_access.py:291-317 semantics). One
-    anti-join; the source side is the small one and broadcasts.
+    anti-join. No explicit broadcast hint: a typical merge batch sits
+    under autoBroadcastJoinThreshold (64 MB here) and broadcasts on its
+    own, while a giant source legitimately degrades to a sort-merge
+    join AQE can skew-split — a forced hint would OOM on that case.
     """
-    keep = target.join(F.broadcast(source.select(key)), key, "left_anti")
+    keep = target.join(source.select(key), key, "left_anti")
     return keep.unionByName(source.select(*target.columns))
 
 
@@ -63,23 +66,32 @@ def update_columns(
     other column of a matched row is preserved, unmatched update rows
     are ignored (the reference's ``.eq("id", ...)`` matches nothing and
     no row is written).
+
+    Match detection rides an explicit ``__upd_matched`` marker column
+    rather than NULL-ness of the update values, so SET col = NULL is
+    representable — the unassign path (clustering.unassigned_members,
+    ref db_access.py:408-523) writes cluster_id = NULL through here.
+    No broadcast hint (see :func:`upsert`): small update batches
+    broadcast automatically, giant ones sort-merge under AQE.
     """
     upd_cols = [c for c in updates.columns if c != key]
     renamed = updates.select(
-        key, *[F.col(c).alias(f"__upd_{c}") for c in upd_cols]
+        key,
+        F.lit(True).alias("__upd_matched"),
+        *[F.col(c).alias(f"__upd_{c}") for c in upd_cols],
     )
-    joined = target.join(F.broadcast(renamed), key, "left")
+    joined = target.join(renamed, key, "left")
     out_cols = []
     for c in target.columns:
         if c == key:
             out_cols.append(F.col(c))
         elif c in upd_cols:
-            # NULL __upd_ means the row was unmatched -> keep original.
-            # A matched row takes the update value even when the update
-            # value itself is NULL is NOT distinguishable via coalesce;
-            # the reference's update payloads are non-NULL scalars, so
-            # coalesce is the faithful (and join-free-able) rendition.
-            out_cols.append(F.coalesce(F.col(f"__upd_{c}"), F.col(c)).alias(c))
+            # unmatched rows have NULL __upd_matched -> keep original;
+            # matched rows take the update value EVEN WHEN IT IS NULL
+            out_cols.append(
+                F.when(F.col("__upd_matched"), F.col(f"__upd_{c}"))
+                .otherwise(F.col(c)).alias(c)
+            )
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
@@ -118,15 +130,17 @@ def merge_write(
     if not touched:
         return {"touched_buckets": [], "rows_written": 0}
 
+    # Hadoop FileSystem API (fsutil) — scheme-agnostic: the same
+    # metadata probes work on file:, hdfs: and s3a: table locations
     existing = [
         b for b in touched
-        if os.path.isdir(os.path.join(table_dir, f"bucket={b}"))
+        if fsutil.is_dir(spark, f"{table_dir}/bucket={b}")
     ]
     if existing:
         tgt = (
             spark.read
             .option("basePath", table_dir)
-            .parquet(*[os.path.join(table_dir, f"bucket={b}") for b in existing])
+            .parquet(*[f"{table_dir}/bucket={b}" for b in existing])
         )
         if mode == "upsert":
             merged = upsert(tgt, src.select(*tgt.columns), key)

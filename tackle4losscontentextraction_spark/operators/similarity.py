@@ -98,7 +98,10 @@ def kmeans_fit(
          update_centroids), re-normalized (spherical k-means).
 
     The loop is driver-iterated like merge_clusters_fixpoint; ``iters``
-    is small (coarse quantizers converge in a few passes). A cell that
+    is small (coarse quantizers converge in a few passes). Each pass
+    localCheckpoints the centroid set (O(k) rows) so iteration i+1's
+    assignment scans the input ONCE against materialized centroids
+    instead of re-executing i stacked assign+update stages. A cell that
     loses every member disappears (standard Lloyd's degeneracy; callers
     wanting fixed k re-seed — not needed for IVF where empty cells are
     simply never probed).
@@ -124,7 +127,7 @@ def kmeans_fit(
         )
         cents = means.select(
             "cell_id", vec_fn.l2_normalize(F.col("m")).alias("centroid")
-        )
+        ).localCheckpoint(eager=True)
     return cents
 
 

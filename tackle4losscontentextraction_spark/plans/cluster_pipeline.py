@@ -36,6 +36,24 @@ def sweep_old_clusters(clusters: DataFrame, now_ts, max_age_days: int = 3) -> Da
     )
 
 
+def mark_content_stale(clusters: DataFrame, touched: DataFrame) -> DataFrame:
+    """isContent maintenance (db_access.py:167-209, cluster_manager.py:83-84):
+    every cluster UPDATE in the reference resets ``isContent`` to False
+    (the cluster's generated content is stale until regenerated), so
+    clusters in the ``touched`` set get ``is_content = false``; the rest
+    keep their flag. ``touched``: (cluster_id) of clusters whose
+    centroid/member_count changed this pass."""
+    t = touched.select("cluster_id", F.lit(True).alias("__touched"))
+    return (
+        clusters.join(t, "cluster_id", "left")
+        .withColumn(
+            "is_content",
+            F.when(F.col("__touched"), F.lit(False)).otherwise(F.col("is_content")),
+        )
+        .drop("__touched")
+    )
+
+
 def run_clustering(
     spark: SparkSession,
     vectors: DataFrame,

@@ -828,3 +828,150 @@ ranked AS (
 SELECT qid, neighbor, round(cos_raw, 6) AS cosine, rk
 FROM ranked WHERE rk <= 5
 """
+
+# -- round-3: consolidations + new operators --------------------------------
+# Registry sizing: the driver snapshots at most 50 queries, so the
+# same-grain singles are consolidated (see plans/queries.py mapping
+# comment); their SQL is composed verbatim from the originals here.
+
+ORACLES["ann_search"] = (
+    "SELECT qid, neighbor, cosine, rk, 'brute' AS method FROM ("
+    + ORACLES.pop("ann_topk")
+    + ")\nUNION ALL\nSELECT qid, neighbor, cosine, rk, 'ivf' AS method FROM ("
+    + ORACLES.pop("ann_ivf")
+    + ")"
+)
+
+_VS_PARTS = []
+for _op, _key in (
+    ("parse", "parse_embedding"), ("stride", "stride_downsample"),
+    ("rmean", "running_mean"), ("l2", "l2_normalize"),
+):
+    _VS_PARTS.append(
+        f"SELECT vec_id, pos, val, '{_op}' AS op FROM ({ORACLES.pop(_key)})"
+    )
+ORACLES["vector_scalars"] = "\nUNION ALL\n".join(_VS_PARTS)
+
+ORACLES["text_scalars"] = f"""
+SELECT a.doc_id, a.stripped, b.truncated, c.unescaped
+FROM ({ORACLES.pop('strip_truncate')}) a
+JOIN ({ORACLES.pop('truncate_words')}) b USING (doc_id)
+JOIN ({ORACLES.pop('unescape_entities')}) c USING (doc_id)
+"""
+
+ORACLES["merge_docs"] = (
+    "SELECT doc_id, text_md5, lang, source, n_chars, 'upsert' AS op FROM ("
+    + ORACLES.pop("upsert_docs")
+    + ")\nUNION ALL\nSELECT doc_id, text_md5, lang, source, n_chars, 'update' AS op FROM ("
+    + ORACLES.pop("update_columns")
+    + ")"
+)
+
+# unassign APPLY subsumes the old cluster_unassign emit-only query
+ORACLES.pop("cluster_unassign")
+ORACLES["unassign_apply"] = """
+WITH m AS (
+  SELECT vec_id::BIGINT AS vec_id,
+         (CASE WHEN vec_id % 50 = 0 THEN vec_id + 10000 ELSE label END)::BIGINT AS cluster_id,
+         label::BIGINT AS orig_label
+  FROM embeddings
+),
+small AS (SELECT cluster_id FROM m GROUP BY cluster_id HAVING count(*) < 2)
+SELECT vec_id,
+       CASE WHEN cluster_id IN (SELECT cluster_id FROM small) THEN NULL
+            ELSE cluster_id END AS cluster_id,
+       orig_label
+FROM m
+"""
+
+# layout parse: the synthetic page-box kernel + reading-order rule of
+# operators/layout.py (column bucketing by x-center, sort by page, col,
+# y, x, box_id)
+ORACLES["layout_linearize"] = """
+WITH d AS (
+  SELECT doc_id::BIGINT AS doc_id, text, n_chars, (8 + n_chars % 7) AS nb
+  FROM documents
+),
+b AS (
+  SELECT doc_id, t.i AS box_id,
+         (t.i // 6) AS page,
+         (((t.i % 6) // 3) * 300.0 + 20 + (t.i % 5)) AS x,
+         (((t.i % 6) % 3) * 250.0 + 40 + (t.i * 3) % 7) AS y,
+         260.0 AS w,
+         substr(text, (1 + (t.i * 30) % greatest(n_chars - 30, 1))::INT, 30) AS btext
+  FROM d, LATERAL unnest(range(0, nb)) AS t(i)
+),
+k AS (
+  SELECT doc_id, box_id, page,
+         greatest(0, least(floor((x + w / 2) * 2 / 600.0)::INT, 1)) AS col,
+         y, x, btext
+  FROM b
+)
+SELECT doc_id,
+       (max(page) + 1)::BIGINT AS n_pages,
+       count(*)::BIGINT AS n_boxes,
+       string_agg(btext, chr(10) ORDER BY page, col, y, x, box_id) AS linearized
+FROM k GROUP BY doc_id
+"""
+
+ORACLES["cluster_age_sweep"] = """
+WITH c AS (
+  SELECT label::BIGINT AS cluster_id, count(*)::BIGINT AS member_count
+  FROM embeddings GROUP BY label
+)
+SELECT cluster_id, member_count,
+       CASE WHEN (TIMESTAMP '2026-01-01 00:00:00' + (cluster_id % 7) * INTERVAL 1 DAY)
+                 < (TIMESTAMP '2026-01-06 00:00:00' - INTERVAL 3 DAY)
+            THEN 'OLD'
+            WHEN cluster_id % 2 = 0 THEN 'NEW'
+            ELSE 'UPDATED' END AS status,
+       CASE WHEN cluster_id % 4 = 0 THEN FALSE
+            ELSE (cluster_id % 3 = 0) END AS is_content
+FROM c
+"""
+
+# Hamming-1 simhash: the 16-bit signature CTE is the dedup_simhash SQL
+# verbatim; banding = 2x8-bit pigeonhole, verify = popcount(xor) <= 1
+ORACLES["dedup_simhash_h1"] = f"""
+WITH s AS (SELECT doc_id, simhash AS sig FROM ({ORACLES["dedup_simhash"]})),
+banded AS (
+  SELECT doc_id, sig, 0 AS band, (sig % 256) AS key FROM s
+  UNION ALL
+  SELECT doc_id, sig, 1 AS band, (sig // 256) AS key FROM s
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+"""
+
+# vendored-BPE token count: the merge chain is generated from the SAME
+# rank-ordered table the Spark side folds (functions/tokens.BPE_MERGES),
+# as nested left-to-right replace() calls — all three engines (Java,
+# DuckDB, Python) agree on non-overlapping left-to-right replace order.
+from ..functions.tokens import BPE_MERGES as _BPE_MERGES
+
+_BD = "\x01"
+_bpe_chain = "regexp_replace(norm, '(.)', '" + _BD + "\\1" + _BD + "', 'g')"
+for _a, _b in _BPE_MERGES:
+    _bpe_chain = (
+        f"replace({_bpe_chain}, '{_BD}{_a}{_BD}{_BD}{_b}{_BD}', '{_BD}{_a}{_b}{_BD}')"
+    )
+
+ORACLES["token_count_bpe"] = f"""
+WITH n AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+m AS (SELECT doc_id, norm, {_bpe_chain} AS s FROM n)
+SELECT doc_id,
+       ((length(s) - length(replace(s, '{_BD}', ''))) // 2
+        - (length(norm) - length(replace(norm, ' ', ''))))::BIGINT AS n_bpe,
+       (CASE WHEN trim(norm) = '' THEN 0
+             ELSE len(string_split_regex(trim(norm), '\\s+')) END)::BIGINT AS n_ws
+FROM m
+"""

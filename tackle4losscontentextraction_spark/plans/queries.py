@@ -959,3 +959,177 @@ SPARK_QUERIES.update({
     "truncate_words": q_truncate_words,
     "unescape_entities": q_unescape_entities,
 })
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: layout parse (north-star PDF path), cluster age
+# sweep + isContent, Hamming-1 simhash, vendored-BPE token count, and
+# the null-aware unassign APPLY through the merge layer.
+#
+# Registry sizing: the driver snapshots at most 50 queries (r2 recorded
+# exactly the first 50 of 53), so same-grain single-purpose queries are
+# CONSOLIDATED below (identical operators, identical oracles — unioned
+# with an `op`/`method` tag or joined on the key) to keep every
+# operator inside the driver's correctness gate. Mapping vs r2 keys:
+#   ann_search      = ann_topk ('brute') ∪ ann_ivf ('ivf')
+#   vector_scalars  = parse_embedding ∪ stride_downsample ∪
+#                     running_mean ∪ l2_normalize   (op tag)
+#   text_scalars    = strip_truncate ⋈ truncate_words ⋈ unescape_entities
+#   merge_docs      = upsert_docs ('upsert') ∪ update_columns ('update')
+#   unassign_apply  ⊃ cluster_unassign (adds the merge-layer NULL apply)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search, both paths in one result: the brute-force
+    correctness baseline and the IVF probe (method tag)."""
+    brute = q_ann_topk(spark, sf_dir).withColumn("method", F.lit("brute"))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+    return brute.unionByName(ivf)
+
+
+def q_vector_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C8/A4/C6 in one elementwise result, tagged by op."""
+    return (
+        q_parse_embedding(spark, sf_dir).withColumn("op", F.lit("parse"))
+        .unionByName(
+            q_stride_downsample(spark, sf_dir).withColumn("op", F.lit("stride")))
+        .unionByName(q_running_mean(spark, sf_dir).withColumn("op", F.lit("rmean")))
+        .unionByName(q_l2_normalize(spark, sf_dir).withColumn("op", F.lit("l2")))
+    )
+
+
+def q_text_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/C11/C12 in one per-doc row (single projection, no join —
+    all three scalars come off the same scan)."""
+    from ..functions import text as text_fn
+
+    d = _tp(spark, sf_dir, "documents")
+    raw = F.concat(F.lit("<p>"), F.col("text"), F.lit("</p> <b>key</b>"))
+    ent = F.concat(
+        F.lit("AT&amp;T &lt;b&gt; &quot;q&quot; &#39;a&#39;&nbsp;&mdash;&ndash;&hellip; "),
+        F.substring(F.col("text"), 1, 40),
+    )
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        text_fn.strip_and_truncate(raw, 200).alias("stripped"),
+        text_fn.truncate_at_word_boundary(F.col("text"), 100).alias("truncated"),
+        text_fn.unescape_html_entities(ent).alias("unescaped"),
+    )
+
+
+def q_merge_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12-S14/B3: both MERGE dataflow halves, tagged by op."""
+    return (
+        q_upsert_docs(spark, sf_dir).withColumn("op", F.lit("upsert"))
+        .unionByName(q_update_columns(spark, sf_dir).withColumn("op", F.lit("update")))
+    )
+
+
+def q_unassign_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-fixer unassign side APPLIED through the merge layer
+    (db_access.py:408-523): members of <2-member clusters get
+    cluster_id set to NULL via update_columns — the NULL is visible in
+    the result, exercising the matched-marker update path (a coalesce
+    rendition cannot write NULL)."""
+    from ..operators import clustering
+    from ..operators import merge as merge_ops
+
+    e = _t(spark, sf_dir, "embeddings")
+    target = e.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.when(F.col("vec_id") % 50 == 0, F.col("vec_id") + 10_000)
+        .otherwise(F.col("label")).cast("bigint").alias("cluster_id"),
+        F.col("label").cast("bigint").alias("orig_label"),
+    )
+    unassign = clustering.unassigned_members(target.select("vec_id", "cluster_id"))
+    updates = unassign.select(
+        "vec_id", F.lit(None).cast("bigint").alias("cluster_id")
+    )
+    merged = merge_ops.update_columns(target, updates, key="vec_id")
+    return merged.select("vec_id", "cluster_id", "orig_label")
+
+
+def q_layout_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star PDF/layout parse: synthetic page-box spans (the
+    documented parse-kernel stand-in) -> column detection ->
+    reading-order linearization (operators/layout.py)."""
+    from ..operators import layout
+
+    d = _tp(spark, sf_dir, "documents")
+    return layout.linearize_layout(layout.synth_layout_boxes(d))
+
+
+def q_cluster_age_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster lifecycle maintenance (db_access.py:568-590 sweep +
+    db_access.py:167-209 isContent reset): clusters idle > 3 days go
+    OLD; clusters touched this pass lose their is_content flag.
+    Fixture: updated_at = 2026-01-01 + (label % 7) days, now =
+    2026-01-06; every 4th cluster is 'touched'."""
+    from . import cluster_pipeline
+
+    e = _t(spark, sf_dir, "embeddings")
+    clusters = (
+        e.groupBy(F.col("label").cast("bigint").alias("cluster_id"))
+        .agg(F.count("*").cast("bigint").alias("member_count"))
+        .select(
+            "cluster_id", "member_count",
+            (F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+             + F.make_dt_interval(days=(F.col("cluster_id") % 7).cast("int"))).alias("updated_at"),
+            F.when(F.col("cluster_id") % 2 == 0, F.lit("NEW")).alias("status"),
+            (F.col("cluster_id") % 3 == 0).alias("is_content"),
+        )
+    )
+    swept = cluster_pipeline.sweep_old_clusters(
+        clusters, "2026-01-06 00:00:00", max_age_days=3
+    )
+    touched = clusters.where(F.col("cluster_id") % 4 == 0).select("cluster_id")
+    out = cluster_pipeline.mark_content_stale(swept, touched)
+    return out.select("cluster_id", "member_count", "status", "is_content")
+
+
+def q_dedup_simhash_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 simhash near-dup pairs via 2x8-bit pigeonhole banding
+    (dedup.simhash_h1_pairs)."""
+    d = _tp(spark, sf_dir, "documents")
+    out = dedup_ops.simhash_h1_pairs(d)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "hamming",
+    )
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: REAL byte-pair encoding token count with the vendored merge
+    table (functions/tokens.py BPE_MERGES; ref tiktoken at
+    extractContent.py:120-125) alongside the whitespace count."""
+    d = _tp(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        tok_fn.token_count_bpe(F.col("text")).alias("n_bpe"),
+        tok_fn.token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
+    )
+
+
+# registry rebuild: swap the consolidated singles for their combined
+# queries (operators unchanged — see the mapping comment above), then
+# append the round-3 additions. Total stays at 50 = the driver cap.
+for _k in (
+    "ann_topk", "ann_ivf", "parse_embedding", "stride_downsample",
+    "running_mean", "l2_normalize", "strip_truncate", "truncate_words",
+    "unescape_entities", "upsert_docs", "update_columns", "cluster_unassign",
+):
+    del SPARK_QUERIES[_k]
+
+SPARK_QUERIES.update({
+    "ann_search": q_ann_search,
+    "vector_scalars": q_vector_scalars,
+    "text_scalars": q_text_scalars,
+    "merge_docs": q_merge_docs,
+    "unassign_apply": q_unassign_apply,
+    "layout_linearize": q_layout_linearize,
+    "cluster_age_sweep": q_cluster_age_sweep,
+    "dedup_simhash_h1": q_dedup_simhash_h1,
+    "token_count_bpe": q_token_count_bpe,
+})

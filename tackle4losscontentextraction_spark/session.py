@@ -27,8 +27,17 @@ def get_spark(
     # 32 codegen threads is allocation-bound (young-gen churn from
     # UnsafeRow/UTF8String temporaries serializes on GC). ~1.5 GiB per
     # thread keeps per-thread TLAB + survivor space constant as we scale,
-    # which is exactly what a real cluster gives each executor.
-    default_mem = f"{max(6, int(cores * 1.5))}g"
+    # which is exactly what a real cluster gives each executor. Capped at
+    # half of physical RAM so the JVM still starts on smaller hosts
+    # (T4L_DRIVER_MEM overrides for deliberate large heaps).
+    default_gb = max(6, int(cores * 1.5))
+    try:
+        with open("/proc/meminfo") as f:
+            mem_total_kb = int(f.readline().split()[1])
+        default_gb = max(2, min(default_gb, mem_total_kb // (2 * 1024 * 1024)))
+    except (OSError, ValueError, IndexError):
+        pass
+    default_mem = f"{default_gb}g"
     # Measured head-to-head at local[32]/600k docs (same quiet window):
     # G1 104.9k docs/s vs ParallelGC 74.1k — G1's concurrent marking keeps
     # the 32 codegen threads running while ParallelGC's full young-gen

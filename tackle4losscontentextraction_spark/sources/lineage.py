@@ -24,10 +24,10 @@ shuffle beyond the partitioned write itself.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .. import fsutil
 
 
 def with_bucket(df: DataFrame, key: str = "doc_id", n_buckets: int = 16) -> DataFrame:
@@ -36,8 +36,8 @@ def with_bucket(df: DataFrame, key: str = "doc_id", n_buckets: int = 16) -> Data
 
 def completed_buckets(spark: SparkSession, lineage_dir: str) -> DataFrame:
     schema = "bucket int, n_rows bigint, status string"
-    if not os.path.exists(lineage_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(lineage_dir)
+    if not any(
+        f.endswith(".parquet") for f in fsutil.list_names(spark, lineage_dir)
     ):
         return spark.createDataFrame([], schema)
     return (
@@ -88,7 +88,7 @@ def run_with_resume(
     """
     pending = pending_buckets(spark, df, lineage_dir, n_buckets, key)
     skipped = [b for b in range(n_buckets) if b not in pending]
-    os.makedirs(lineage_dir, exist_ok=True)
+    fsutil.mkdirs(spark, lineage_dir)
     if not pending:
         return {"processed": [], "skipped": skipped, "rows": 0}
 
@@ -97,14 +97,12 @@ def run_with_resume(
     # never pending). Clear them up front: dynamic overwrite only
     # replaces partitions PRESENT in the new output, so a transform
     # legitimately yielding 0 rows for a bucket would otherwise leave
-    # the garbage in place under a fresh 'done' lineage row.
-    # (local-FS delete; on HDFS/S3 this is the same delete via the
-    # Hadoop FileSystem API — or free with Iceberg, where uncommitted
-    # files are simply not in any snapshot.)
-    import shutil
-
+    # the garbage in place under a fresh 'done' lineage row. The delete
+    # goes through the Hadoop FileSystem API (fsutil), so it works
+    # unchanged on HDFS/S3 table locations — or is simply unnecessary
+    # with Iceberg, where uncommitted files are not in any snapshot.
     for b in pending:
-        shutil.rmtree(os.path.join(out_dir, f"bucket={b}"), ignore_errors=True)
+        fsutil.delete_dir(spark, f"{out_dir}/bucket={b}")
 
     bucketed = with_bucket(df, key, n_buckets)
     part = transform(bucketed.where(F.col("bucket").isin(pending)))

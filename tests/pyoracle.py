@@ -52,13 +52,13 @@ def inline_image_url(raw: str) -> str:
     return m.group(1) if m else ""
 
 
-_RE_BAD_ESCAPE = re.compile(r"%(?![0-9A-Fa-f]{2})")
-
-
 def normalize_url(url: str) -> str:
-    # unified decode semantics (functions/urls.py docstring): '+'
-    # preserved, malformed escape -> whole string undecoded
-    decoded = url if _RE_BAD_ESCAPE.search(url) else urllib.parse.unquote(url)
+    # plain urllib.parse.unquote — the reference's own call
+    # (article_processor.py:40-41), kept UN-mirrored from the Spark
+    # implementation so this stays an independent check of its
+    # malformed-escape semantics (valid %XX decode even when an
+    # invalid escape exists elsewhere in the string)
+    decoded = urllib.parse.unquote(url)
     if not decoded.startswith("http"):
         decoded = "https://www." + decoded
     return decoded

@@ -72,7 +72,9 @@ def test_twin_parity_hostile_urls_and_null_lang(spark):
         assert ra.type_confidence == rb.type_confidence, doc_id
     # pinned expectations, not just twin agreement:
     assert a["u1"].url_norm == "https://www.espn.com/nfl/a+b c"
-    assert a["u2"].url_norm == "https://site0.example.com/x%zz%20y"
+    # urllib.parse.unquote semantics (ADVICE r2): the invalid %zz stays
+    # literal but the VALID %20 elsewhere still decodes
+    assert a["u2"].url_norm == "https://site0.example.com/x%zz y"
     assert a["u3"].url_norm == "https://site1.example.com/y%"
     assert a["u4"].url_norm == "https://site2.example.com/z�"
     assert a["u5"].content_type != "wrong_content"

@@ -117,29 +117,49 @@ def test_jaccard_hot_shingle_cap(spark):
 
 
 def test_upsert_plan_single_broadcast_join(spark):
-    from tackle4losscontentextraction_spark.plans.queries import SPARK_QUERIES
+    from tackle4losscontentextraction_spark.plans.queries import q_upsert_docs
 
-    df = SPARK_QUERIES["upsert_docs"](spark, "/root/testdata/sf0.001")
+    df = q_upsert_docs(spark, "/root/testdata/sf0.001")
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert logical.count("Join") == 1, "upsert is exactly one anti-join"
     plan = _executed(df)
-    # (AQE's executed-plan string can render the broadcast join twice —
-    # stage + final plan — so assert kind, not count)
+    # no explicit hint anymore (a giant source must be allowed to
+    # degrade to sort-merge) — a SMALL source must still broadcast via
+    # autoBroadcastJoinThreshold/AQE. (AQE's executed-plan string can
+    # render the broadcast join twice — stage + final — so assert kind,
+    # not count.)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_jaccard_plan_shuffle_bound(spark):
-    """The bucketed jaccard must keep to its two data shuffles (shingle
-    buckets + pair aggregation; +1 for the input repartition here) and
-    never join for sizes."""
+    """The bucketed jaccard keeps its two data shuffles (shingle buckets
+    + pair aggregation; +1 input repartition here) plus the df-guard's
+    count aggregation; the hot-shingle anti-join must be a BROADCAST
+    join (the Zipf head is tiny), never a sort-merge join, and the size
+    lookup must still ride the buckets — no join carries posting
+    payloads."""
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
     from tackle4losscontentextraction_spark.operators import dedup
 
     df = dedup.jaccard_pairs(d, shingle_n=3, threshold=0.1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan, "size lookup must ride the buckets, not a join"
-    assert plan.count("Exchange") <= 3
+    assert "SortMergeJoin" not in plan, "hot-shingle anti-join must broadcast"
+    # exactly one join: the broadcast left_anti df guard
+    assert plan.count("BroadcastHashJoin") == 1
+
+    def shuffles(p: str) -> int:
+        return p.count("Exchange") - p.count("BroadcastExchange")
+
+    # shuffles: input repartition appears under both the df-count branch
+    # and the posting branch (2), + df-count agg + bucket agg + pair agg
+    assert shuffles(plan) <= 5
+
+    # max_df=None restores the guard-free, join-free plan
+    df2 = dedup.jaccard_pairs(d, shingle_n=3, threshold=0.1, max_df=None)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan2
+    assert shuffles(plan2) <= 3
 
 
 def test_kmeans_and_assign_have_no_window(spark):
@@ -149,10 +169,12 @@ def test_kmeans_and_assign_have_no_window(spark):
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = similarity.kmeans_fit(e, k=2, iters=1)
-    plan = cents._jdf.queryExecution().optimizedPlan().toString()
-    # exactly one window is allowed: the init's row_number over the k
-    # seed rows (bounded by LIMIT k); the N-row assignment must not add one
-    assert plan.count("Window [") == 1 and "GlobalLimit" in plan
+    # kmeans_fit returns a per-pass localCheckpoint (round 3), so its
+    # own plan is an opaque RDD scan; assert no window leaks into the
+    # N-row CELL ASSIGNMENT plan instead (the argmax that matters)
+    cells = similarity.cells_from_centroids(e, cents)
+    plan = cells._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window [" not in plan and "Aggregate" in plan
 
     clusters = spark.createDataFrame(
         [("a", [1.0] * 32, 2), ("b", [-1.0] * 32, 2)],

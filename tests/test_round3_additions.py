@@ -1,0 +1,209 @@
+"""Round-3 additions: vendored BPE, layout linearization, Hamming-1
+simhash, null-aware update, checkpointed iterative loops, fsutil."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tackle4losscontentextraction_spark.functions import tokens as tok_fn
+from tackle4losscontentextraction_spark.operators import dedup, layout
+from tackle4losscontentextraction_spark.operators import merge as merge_ops
+
+
+# ---------------------------------------------------------------------------
+# BPE token count
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_known_values(spark):
+    cases = {
+        "the": 1,            # t h -> th, th e -> the
+        "and": 1,            # a n -> an, an d -> and
+        "xyz": 3,            # no merges fire
+        "the theatre": 1 + 3,  # thea-tre: th,e,a,t,r,e -> the,at,re -> 3
+        "": 0,
+        "   ": 0,
+    }
+    rows = [(i, s) for i, (s, _) in enumerate(cases.items())]
+    df = spark.createDataFrame(rows, "i int, s string").select(
+        "s", tok_fn.token_count_bpe(F.col("s")).alias("n")
+    )
+    got = {r.s: r.n for r in df.collect()}
+    for s, want in cases.items():
+        assert got[s] == want, (s, got[s], want)
+        assert tok_fn.bpe_tokens_py(s) == want, (s, "py twin")
+
+
+def test_bpe_spark_matches_python_twin(spark):
+    hostile = [
+        "the quick brown fox", "a  b\t\nc", " leading and trailing  ",
+        "don't stop-me.now!", "café ñandú", "th th th th",
+        "UPPER Case MiXeD", "1234 56 filter merge", "%%% ~~~ ```",
+        "extraction pipeline query join window scan",
+    ]
+    df = spark.createDataFrame([(s,) for s in hostile], "s string").select(
+        "s", tok_fn.token_count_bpe(F.col("s")).alias("n")
+    )
+    for r in df.collect():
+        assert r.n == tok_fn.bpe_tokens_py(r.s), r.s
+
+
+def test_bpe_merge_table_is_consistent():
+    # every merge's left/right side must itself be formable (a single
+    # char or the product of an EARLIER merge) — guards against dead
+    # rules sneaking in when the table is edited
+    formable = set()
+    for a, b in tok_fn.BPE_MERGES:
+        for side in (a, b):
+            assert len(side) == 1 or side in formable, f"dead rule ({a},{b})"
+        formable.add(a + b)
+
+
+# ---------------------------------------------------------------------------
+# layout linearization
+# ---------------------------------------------------------------------------
+
+
+def test_layout_reading_order_golden(spark):
+    # two pages; page 0 has two columns (3 + 2 boxes), page 1 one box.
+    # Input order is scrambled — the operator must recover reading order
+    # from geometry alone.
+    rows = [
+        # doc_id, box_id, page, x, y, w, h, text
+        (1, 4, 0, 320.0, 60.0, 260.0, 200.0, "R1"),   # right col, top
+        (1, 0, 0, 20.0, 40.0, 260.0, 200.0, "L1"),
+        (1, 5, 1, 20.0, 40.0, 260.0, 200.0, "P2"),
+        (1, 2, 0, 25.0, 540.0, 260.0, 200.0, "L3"),
+        (1, 1, 0, 22.0, 290.0, 260.0, 200.0, "L2"),
+        (1, 3, 0, 321.0, 310.0, 260.0, 200.0, "R2"),
+    ]
+    boxes = spark.createDataFrame(
+        rows, "doc_id bigint, box_id bigint, page bigint, x double, y double, w double, h double, text string"
+    )
+    out = layout.linearize_layout(boxes).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_pages == 2 and r.n_boxes == 6
+    assert r.linearized == "L1\nL2\nL3\nR1\nR2\nP2"
+
+
+def test_layout_column_clamp(spark):
+    # x-center beyond the page width clamps into the last column
+    col = layout.detect_column(F.lit(900.0), F.lit(260.0))
+    v = spark.range(1).select(col.alias("c")).collect()[0].c
+    assert v == 1
+    col0 = layout.detect_column(F.lit(-50.0), F.lit(20.0))
+    v0 = spark.range(1).select(col0.alias("c")).collect()[0].c
+    assert v0 == 0
+
+
+def test_layout_synth_matches_operator_counts(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    boxes = layout.synth_layout_boxes(d)
+    out = layout.linearize_layout(boxes)
+    got = out.agg(F.sum("n_boxes").alias("nb"), F.count("*").alias("nd")).collect()[0]
+    want = d.agg(F.sum(F.lit(8) + F.col("n_chars") % 7)).collect()[0][0]
+    assert got.nd == 50 and got.nb == want
+
+
+# ---------------------------------------------------------------------------
+# Hamming-1 simhash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_h1_matches_bruteforce(spark):
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    sigs = {
+        r.doc_id: r.sig
+        for r in d.select("doc_id", dedup.simhash16(F.col("text")).alias("sig")).collect()
+    }
+    want = {
+        (a, b)
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 1
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_h1_pairs(d).collect()
+    }
+    assert got == want, "pigeonhole banding must have perfect Hamming<=1 recall"
+
+
+# ---------------------------------------------------------------------------
+# null-aware update (matched marker)
+# ---------------------------------------------------------------------------
+
+
+def test_update_columns_null_value_is_written(spark):
+    target = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "doc_id bigint, cluster_id bigint, name string",
+    )
+    upd = spark.createDataFrame(
+        [(2, None), (99, 5)], "doc_id bigint, cluster_id bigint"
+    )
+    out = {r.doc_id: r for r in merge_ops.update_columns(target, upd).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2].cluster_id is None, "matched NULL update must WRITE the NULL"
+    assert out[2].name == "b"
+    assert out[1].cluster_id == 10 and out[3].cluster_id == 30
+
+
+# ---------------------------------------------------------------------------
+# checkpointed iterative loops
+# ---------------------------------------------------------------------------
+
+
+def test_merge_fixpoint_checkpoints_and_converges(spark):
+    from tackle4losscontentextraction_spark.operators import clustering
+
+    # four near-identical centroids: pass 1 merges two disjoint pairs,
+    # pass 2 merges the survivors -> a single cluster
+    rows = [
+        ("a", [1.0, 0.0, 0.0], 2),
+        ("b", [0.999, 0.04, 0.0], 2),
+        ("c", [0.998, 0.06, 0.0], 3),
+        ("d", [0.997, 0.07, 0.0], 3),
+    ]
+    clusters = spark.createDataFrame(
+        rows, "cluster_id string, centroid array<double>, member_count bigint"
+    )
+    out = clustering.merge_clusters_fixpoint(clusters, threshold=0.9)
+    res = out.collect()
+    assert len(res) == 1 and res[0].member_count == 10
+    # the returned lineage must be a materialized checkpoint scan, not
+    # the k-pass self-join tower (pass-k recompute is the r2 verdict's
+    # scale-killer)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_fit_plan_is_checkpoint_shallow(spark):
+    from tackle4losscontentextraction_spark.operators import similarity
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    cents = similarity.kmeans_fit(e, k=2, iters=3)
+    plan = cents._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert cents.count() <= 2
+
+
+# ---------------------------------------------------------------------------
+# fsutil (Hadoop FileSystem API portability layer)
+# ---------------------------------------------------------------------------
+
+
+def test_fsutil_roundtrip(spark, tmp_path):
+    from tackle4losscontentextraction_spark import fsutil
+
+    p = str(tmp_path / "x" / "y")
+    assert not fsutil.exists(spark, p)
+    fsutil.mkdirs(spark, p)
+    assert fsutil.is_dir(spark, p)
+    spark.range(3).write.mode("overwrite").parquet(p + "/t")
+    assert "t" in fsutil.list_names(spark, p)
+    assert fsutil.delete_dir(spark, p)
+    assert not fsutil.exists(spark, p)
+    assert fsutil.list_names(spark, p) == []
+    assert fsutil.delete_dir(spark, p) is False
