@@ -149,8 +149,15 @@ def new_clusters_from_pairs(
                      F.col("cos_raw").alias("s"))
     ).select(F.col("ca").alias("vid"), F.col("cb").alias("vid_b"))
     best = mutual.join(v, "vid").join(o, "vid_b")
+    from ..functions.ids import deterministic_uuid
+
     return best.select(
-        F.concat(F.lit("c_"), F.col("vid").cast("string"), F.lit("_"), F.col("vid_b").cast("string")).alias("cluster_id"),
+        # C10: the reference's uuid4 (db_access.py:249) rendered
+        # deterministic — a name-based UUID over the seed pair, so a
+        # retried/replayed batch mints the SAME cluster id
+        deterministic_uuid(
+            F.concat_ws("#", F.col("vid").cast("string"), F.col("vid_b").cast("string"))
+        ).alias("cluster_id"),
         F.zip_with("v", "v_b", lambda a, b: (a + b) / 2).alias("centroid"),
         F.lit(2).alias("member_count"),
         F.col("vid").alias("member_a"),

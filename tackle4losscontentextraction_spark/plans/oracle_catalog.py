@@ -918,7 +918,8 @@ ORACLES["cluster_age_sweep"] = """
 WITH c AS (
   SELECT label::BIGINT AS cluster_id, count(*)::BIGINT AS member_count
   FROM embeddings GROUP BY label
-)
+),
+h AS (SELECT *, md5(cluster_id::VARCHAR) AS hx FROM c)
 SELECT cluster_id, member_count,
        CASE WHEN (TIMESTAMP '2026-01-01 00:00:00' + (cluster_id % 7) * INTERVAL 1 DAY)
                  < (TIMESTAMP '2026-01-06 00:00:00' - INTERVAL 3 DAY)
@@ -926,8 +927,11 @@ SELECT cluster_id, member_count,
             WHEN cluster_id % 2 = 0 THEN 'NEW'
             ELSE 'UPDATED' END AS status,
        CASE WHEN cluster_id % 4 = 0 THEN FALSE
-            ELSE (cluster_id % 3 = 0) END AS is_content
-FROM c
+            ELSE (cluster_id % 3 = 0) END AS is_content,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3' || substr(hx, 14, 3)
+         || '-' || printf('%x', (('0x' || substr(hx, 17, 1))::BIGINT % 4 + 8))
+         || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS cluster_uuid
+FROM h
 """
 
 # Hamming-1 simhash: the 16-bit signature CTE is the dedup_simhash SQL

@@ -1085,7 +1085,13 @@ def q_cluster_age_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     touched = clusters.where(F.col("cluster_id") % 4 == 0).select("cluster_id")
     out = cluster_pipeline.mark_content_stale(swept, touched)
-    return out.select("cluster_id", "member_count", "status", "is_content")
+    from ..functions.ids import deterministic_uuid
+
+    return out.select(
+        "cluster_id", "member_count", "status", "is_content",
+        # C10 gate: the deterministic name-based UUID, mirrored in SQL
+        deterministic_uuid(F.col("cluster_id")).alias("cluster_uuid"),
+    )
 
 
 def q_dedup_simhash_h1(spark: SparkSession, sf_dir: str) -> DataFrame:

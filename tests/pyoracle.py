@@ -52,6 +52,17 @@ def inline_image_url(raw: str) -> str:
     return m.group(1) if m else ""
 
 
+def deterministic_uuid(name: str) -> str:
+    """Twin of functions/ids.deterministic_uuid (v3-style name UUID)."""
+    import hashlib
+
+    h = hashlib.md5(name.encode()).hexdigest()
+    return (
+        f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-"
+        f"{(int(h[16], 16) % 4 + 8):x}{h[17:20]}-{h[20:32]}"
+    )
+
+
 def normalize_url(url: str) -> str:
     # plain urllib.parse.unquote — the reference's own call
     # (article_processor.py:40-41), kept UN-mirrored from the Spark

@@ -190,6 +190,41 @@ def test_kmeans_fit_plan_is_checkpoint_shallow(spark):
 
 
 # ---------------------------------------------------------------------------
+# deterministic UUIDs (C10)
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_uuid_rfc4122_shape_and_twin(spark):
+    import re
+
+    import pyoracle
+    from tackle4losscontentextraction_spark.functions.ids import deterministic_uuid
+
+    names = ["42#77", "a", "", "espn.com/nfl", "0#1"]
+    df = spark.createDataFrame([(n,) for n in names], "n string").select(
+        "n", deterministic_uuid(F.col("n")).alias("u")
+    )
+    pat = re.compile(r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$")
+    got = {r.n: r.u for r in df.collect()}
+    assert len(set(got.values())) == len(names)  # distinct inputs -> distinct ids
+    for n in names:
+        assert pat.match(got[n]), got[n]
+        assert got[n] == pyoracle.deterministic_uuid(n), n
+
+
+def test_pair_clusters_get_stable_uuid_ids(spark):
+    from tackle4losscontentextraction_spark.operators import clustering
+
+    pend = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.1]), (7, [0.0, 1.0]), (9, [0.05, 0.99])],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = {r.cluster_id for r in clustering.new_clusters_from_pairs(pend, 0.8).collect()}
+    b = {r.cluster_id for r in clustering.new_clusters_from_pairs(pend, 0.8).collect()}
+    assert a == b and len(a) == 2  # replay-stable, one cluster per pair
+
+
+# ---------------------------------------------------------------------------
 # fsutil (Hadoop FileSystem API portability layer)
 # ---------------------------------------------------------------------------
 
