@@ -190,6 +190,36 @@ def test_kmeans_fit_plan_is_checkpoint_shallow(spark):
 
 
 # ---------------------------------------------------------------------------
+# fallback source combinator (S7 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_with_fallback_routes_rows(spark):
+    from tackle4losscontentextraction_spark.sources import fallback
+
+    span = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    rows = [
+        (1, [("text", "good content", "", 0)]),          # healthy
+        (2, []),                                          # empty -> fallback
+        (3, None),                                        # null  -> fallback, absent in secondary
+        (4, [("text", "Extraction error: timeout", "", 0)]),  # error sentinel
+    ]
+    primary = spark.createDataFrame(rows, f"doc_id bigint, spans {span}")
+    secondary = spark.createDataFrame(
+        [(2, [("text", "refetched two", "", 0)]),
+         (4, [("text", "refetched four", "", 0)]),
+         (9, [("text", "unused", "", 0)])],
+        f"doc_id bigint, spans {span}",
+    )
+    out = {r.doc_id: r for r in fallback.with_fallback(primary, secondary).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].source_used == "primary" and out[1].spans[0].text == "good content"
+    assert out[2].source_used == "fallback" and out[2].spans[0].text == "refetched two"
+    assert out[3].source_used == "primary_failed" and out[3].spans is None
+    assert out[4].source_used == "fallback" and out[4].spans[0].text == "refetched four"
+
+
+# ---------------------------------------------------------------------------
 # deterministic UUIDs (C10)
 # ---------------------------------------------------------------------------
 
