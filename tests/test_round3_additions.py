@@ -48,6 +48,25 @@ def test_bpe_spark_matches_python_twin(spark):
         assert r.n == tok_fn.bpe_tokens_py(r.s), r.s
 
 
+def test_bpe_seeded_random_corpus_matches_twin(spark):
+    """200 seeded-random strings over a hostile alphabet (whitespace
+    runs, unicode, punctuation, digits) — Spark vs the Python twin."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz  \t\n.,!?'\"%0123456789éñ中-_()"
+    corpus = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(corpus)], "i int, s string"
+    ).select("i", tok_fn.token_count_bpe(F.col("s")).alias("n"))
+    got = {r.i: r.n for r in df.collect()}
+    for i, s in enumerate(corpus):
+        assert got[i] == tok_fn.bpe_tokens_py(s), repr(s)
+
+
 def test_bpe_merge_table_is_consistent():
     # every merge's left/right side must itself be formable (a single
     # char or the product of an EARLIER merge) — guards against dead
@@ -95,6 +114,56 @@ def test_layout_column_clamp(spark):
     col0 = layout.detect_column(F.lit(-50.0), F.lit(20.0))
     v0 = spark.range(1).select(col0.alias("c")).collect()[0].c
     assert v0 == 0
+
+
+def test_layout_linearize_input_order_invariant(spark):
+    """Reading order must come from geometry alone: scrambling the
+    physical input order/partitioning cannot change the output."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    boxes = layout.synth_layout_boxes(d)
+    scrambled = boxes.orderBy(F.md5(F.concat_ws("#", "doc_id", "text"))).repartition(7)
+    a = {r.doc_id: r.linearized for r in layout.linearize_layout(boxes).collect()}
+    b = {r.doc_id: r.linearized for r in layout.linearize_layout(scrambled).collect()}
+    assert a == b
+
+
+def test_jaccard_guard_equals_postfilter_semantics(spark):
+    """The pre-collect df guard must produce EXACTLY the rows the
+    documented semantics describe (drop shingles with df > max_df, then
+    exact jaccard on the survivors) — checked against an independent
+    pure-Python computation."""
+    from tackle4losscontentextraction_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "alpha beta gamma theta iota kappa"),
+        (4, "alpha beta gamma theta iota lam"),
+        (5, "completely different words here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, shingle_n=2, threshold=0.0, max_df=3).collect()
+    }
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+
+    sh = {i: shingles(t) for i, t in rows}
+    from collections import Counter
+
+    df_count = Counter(s for v in sh.values() for s in v)
+    hot = {s for s, c in df_count.items() if c > 3}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = (sh[a] & sh[b]) - hot
+                if inter:
+                    want[(a, b)] = round(len(inter) / (len(sh[a]) + len(sh[b]) - len(inter)), 6)
+    assert got == want
 
 
 def test_layout_synth_matches_operator_counts(spark):
