@@ -92,6 +92,71 @@ def decode_image_batch(media: DataFrame, partitions: int | None = None) -> DataF
     return src.mapInPandas(fn, schema=out_schema)
 
 
+def sample_frames_batch(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Frame sampling: video rows FAN OUT to one row per sampled frame
+    (media_id, frame_idx, ts_ms, frame array<double>, ok) — the
+    row-count-changing mapInPandas shape a real ffmpeg kernel keeps
+    (one input batch yields a larger output batch; non-video rows yield
+    nothing). Frames per video = min(max_frames, duration/every_ms),
+    the memory bound a real sampler also needs (an unbounded explode of
+    a long video is the OOM). Frame payload decode is the deterministic
+    stub (kernel swap point, see module docstring)."""
+    out_schema = "media_id string, frame_idx int, ts_ms int, frame array<double>, ok boolean"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, tss, frames, oks = [], [], [], [], []
+            for mid, kind, dur, payload in zip(
+                pdf["media_id"], pdf["media_kind"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if kind != "video" or not dur:
+                    continue
+                n = min(max_frames, max(1, int(dur) // every_ms))
+                for i in range(n):
+                    mids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    try:
+                        frames.append(_fake_decode((payload or b"") + i.to_bytes(2, "big")))
+                        oks.append(True)
+                    except NotImplementedError:
+                        frames.append(None)
+                        oks.append(False)
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "ts_ms": tss,
+                 "frame": frames, "ok": oks}
+            )
+
+    src = media.repartition(partitions) if partitions else media
+    return src.mapInPandas(fn, schema=out_schema)
+
+
+def resize_image_batch(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize: binary -> binary Pandas UDF keeping the media schema
+    (payload replaced, width/height metadata updated) — the in-place
+    transform shape of a PIL thumbnail kernel. The stub payload is an
+    md5 of (payload, target size): deterministic, size-dependent."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = [
+                hashlib.md5((p or b"") + f"{width}x{height}".encode()).digest()
+                if k == "image" else p
+                for p, k in zip(pdf["payload"], pdf["media_kind"])
+            ]
+            out["width"] = [width if k == "image" else w for w, k in zip(pdf["width"], pdf["media_kind"])]
+            out["height"] = [height if k == "image" else h for h, k in zip(pdf["height"], pdf["media_kind"])]
+            yield out
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
 def synth_media_table(extracted: DataFrame) -> DataFrame:
     """Deterministic fake payload bytes for every media ref (test/bench
     stand-in for the fetch stage)."""
