@@ -111,3 +111,60 @@ def test_stream_merge_sink_upserts(spark, dirs):
     q2 = merge_sink.start_merge_sink(stream2, f"{dirs}/table", f"{dirs}/ckpt", n_buckets=4)
     q2.awaitTermination(60)
     assert spark.read.parquet(f"{dirs}/table").count() == 80
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, dirs):
+    """A digest seen in batch 1 must suppress the same digest arriving
+    in batch 2 (cross-micro-batch state), matching the batch dedup key."""
+    from tackle4losscontentextraction_spark.streaming import dedup_stream
+
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 40)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1700000000)))
+        .coalesce(1)
+    )
+    base.write.mode("overwrite").parquet(f"{dirs}/in/f1")
+    # file 2: 20 re-deliveries (same text, later ts, new ids) + 10 new docs
+    dupes = base.where(F.col("doc_id").cast("bigint") < 20).select(
+        F.concat(F.lit("redeliver_"), F.col("doc_id")).alias("doc_id"),
+        "text",
+        F.timestamp_seconds(F.lit(1700000100)).alias("ingest_ts"),
+    )
+    fresh = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where((F.col("doc_id") >= 40) & (F.col("doc_id") < 50))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .withColumn("ingest_ts", F.timestamp_seconds(F.lit(1700000100)))
+    )
+    dupes.unionByName(fresh).coalesce(1).write.mode("overwrite").parquet(f"{dirs}/in/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{dirs}/in/*")
+    )
+    out = dedup_stream.dedup_stream(stream, delay="10 minutes")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{dirs}/dedup_out")
+        .option("checkpointLocation", f"{dirs}/dedup_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(f"{dirs}/dedup_out")
+    ids = [r.doc_id for r in got.select("doc_id").collect()]
+    # 40 originals + 10 fresh survive; 20 re-deliveries suppressed
+    assert len(ids) == 50
+    assert not any(i.startswith("redeliver_") for i in ids)
+    # the stream dup_key IS the batch dedup key (same normalize+digest)
+    from tackle4losscontentextraction_spark.operators import dedup as dedup_ops
+
+    batch = {r.dup_key for r in dedup_ops.exact_duplicates(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("doc_id") < 50)).collect()}
+    stream_keys = {r.dup_key for r in got.select("dup_key").collect()}
+    assert stream_keys == batch
