@@ -221,7 +221,8 @@ def run_one_scale(cores: int, n_docs: int, reps: int = 3, impl: str = "catalyst"
         best = min(best, time.perf_counter() - t0)
     spark.stop()
     return {"cores": cores, "n_docs": n, "sec": round(best, 3),
-            "docs_per_sec": round(n / best, 1), "reps": reps, "impl": impl}
+            "docs_per_sec": round(n / best, 1), "reps": reps, "impl": impl,
+            "load_1min": _load1()}
 
 
 def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000) -> None:
@@ -293,8 +294,9 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
         "pass_4_to_16": bool(eff_4_16 and eff_4_16 >= 0.8),
         "pass_8_to_32": bool(eff_8_32 and eff_8_32 >= 0.8),
         "cotenant_load_avg": _load1(),
-        "note": "shared machine: co-tenant load caps the 32-core config; "
-                "the 2->8 pair fits in free capacity and is the clean signal",
+        "note": "shared machine: co-tenant load caps the 16/32-core configs; "
+                "the 2->8 and 4->16 pairs fit in free capacity when a quiet "
+                "window lands (per-leg load_1min recorded with each minimum)",
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
