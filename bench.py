@@ -45,6 +45,23 @@ def _load1() -> float | None:
         return None
 
 
+def _code_key() -> str:
+    """md5 over the package source — the accumulator (BENCH/
+    bench_best.json) is keyed by it so minima never carry across code
+    changes: a regression must show against a FRESH bucket, not hide
+    behind a faster minimum measured on older code."""
+    import hashlib
+
+    h = hashlib.md5()
+    root = os.path.join(REPO, "tackle4losscontentextraction_spark")
+    for dirpath, _, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def _count_rows(df) -> int:
     # count() forces full execution but lets Catalyst skip column
     # materialization; for extraction queries we want the real payload
@@ -131,7 +148,8 @@ def run_bench() -> None:
 
     # --- min-merge with the accumulated least-interfered estimates ---
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    acc_key = f"sf{sf}_cpus{CPUS}_docs{n_big}"
+    code_key = _code_key()
+    acc_key = f"sf{sf}_cpus{CPUS}_docs{n_big}_src{code_key}"
     acc_path = os.path.join(REPO, "BENCH", "bench_best.json")
     acc_all: dict = {}
     if os.path.exists(acc_path):
@@ -184,6 +202,7 @@ def run_bench() -> None:
         },
         "load_1min": loads,
         "accumulated_invocations": acc["invocations"],
+        "code_key": code_key,
         "sf": float(sf),
         "cpus": CPUS,
     }))

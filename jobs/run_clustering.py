@@ -14,8 +14,10 @@ Usage:
 
 Writes ``<out>/clusters``, ``<out>/assignments``, ``<out>/pending``,
 ``<out>/unassign`` and prints a one-line JSON summary. Rerunning with
-``--clusters <out>/clusters`` continues from the previous state — the
-reference's nightly incremental mode.
+``--clusters <out>/clusters --memberships <accumulated assignments>``
+continues from the previous state — the reference's nightly
+incremental mode. (The maintenance pass needs the complete membership
+table; incremental runs without ``--memberships`` skip it.)
 """
 
 from __future__ import annotations
@@ -33,6 +35,11 @@ def main() -> int:
     ap.add_argument("--vectors", required=True, help="embeddings parquet (vec_id, embedding)")
     ap.add_argument("--out", required=True)
     ap.add_argument("--clusters", default=None, help="prior clusters parquet (incremental mode)")
+    ap.add_argument("--memberships", default=None,
+                    help="prior assignments parquet (vec_id, cluster_id); "
+                         "REQUIRED with --clusters for the maintenance pass — "
+                         "recount/unassign need the COMPLETE membership table, "
+                         "not just this batch's assignments")
     ap.add_argument("--assign-threshold", type=float, default=None)
     ap.add_argument("--merge-threshold", type=float, default=None)
     args = ap.parse_args()
@@ -58,14 +65,30 @@ def main() -> int:
         kw["merge_threshold"] = args.merge_threshold
     out = cluster_pipeline.run_clustering(spark, vectors, prior, **kw)
 
+    # maintenance (recount + unassign + zero-centroid repair) is only
+    # valid against the COMPLETE membership table: on an incremental
+    # run this batch's assignments alone would make every idle prior
+    # cluster recount to 0 (and be wrongly dropped/unassigned). Union
+    # prior memberships when given; skip maintenance when incremental
+    # without them.
     memberships = out["assignments"].select("vec_id", "cluster_id")
-    maint = cluster_pipeline.run_maintenance(out["clusters"], memberships, vectors)
+    if args.memberships:
+        memberships = memberships.unionByName(
+            spark.read.parquet(args.memberships).select("vec_id", "cluster_id")
+        ).dropDuplicates(["vec_id"])
+    run_maint = args.clusters is None or args.memberships is not None
+    if run_maint:
+        maint = cluster_pipeline.run_maintenance(out["clusters"], memberships, vectors)
+        clusters_out, unassign_out = maint["clusters"], maint["unassign"]
+    else:
+        clusters_out = out["clusters"]
+        unassign_out = spark.createDataFrame([], "vec_id bigint, old_cluster_id string")
 
     paths = {
-        "clusters": maint["clusters"],
+        "clusters": clusters_out,
         "assignments": out["assignments"],
         "pending": out["pending"],
-        "unassign": maint["unassign"],
+        "unassign": unassign_out,
     }
     counts = {}
     for name, df in paths.items():

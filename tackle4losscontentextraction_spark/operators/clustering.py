@@ -166,8 +166,9 @@ def new_clusters_from_pairs(
 
 
 def merge_clusters_fixpoint(
-    clusters: DataFrame, threshold: float = MERGE_THRESHOLD, max_passes: int = MAX_MERGE_PASSES
-) -> DataFrame:
+    clusters: DataFrame, threshold: float = MERGE_THRESHOLD, max_passes: int = MAX_MERGE_PASSES,
+    return_mapping: bool = False,
+):
     """Driver-iterated pairwise merging (weighted mean), <= max_passes.
 
     Each pass merges disjoint best pairs above threshold; the centroid
@@ -181,8 +182,17 @@ def merge_clusters_fixpoint(
     roughly doubles per pass — invisible at fixture scale, a scale-
     killer at real cluster counts. The checkpointed state is
     O(clusters) rows (small); eager=True materializes it as the pass's
-    single upstream job."""
+    single upstream job.
+
+    With ``return_mapping=True`` also returns (clusters, mapping) where
+    mapping = (old_cluster_id, new_cluster_id) for every ABSORBED id,
+    transitively resolved across passes — the UPDATE set callers apply
+    to their membership table (the reference likewise re-points members
+    when clusters merge); without remapping, members recorded under an
+    absorbed id would reference a nonexistent cluster."""
+    spark = clusters.sparkSession
     cur = clusters.select("cluster_id", F.col("centroid").cast("array<double>").alias("centroid"), "member_count")
+    mapping = spark.createDataFrame([], "old_cluster_id string, new_cluster_id string")
     for _ in range(max_passes):
         cur = cur.localCheckpoint(eager=True)
         a = cur.select(F.col("cluster_id").alias("ca"), F.col("centroid").alias("va"), F.col("member_count").alias("na"))
@@ -197,11 +207,29 @@ def merge_clusters_fixpoint(
             F.zip_with("va", "vb", lambda x, y: (x * F.col("na") + y * F.col("nb")) / (F.col("na") + F.col("nb"))).alias("centroid"),
             (F.col("na") + F.col("nb")).alias("member_count"),
         )
+        if return_mapping:
+            # this pass absorbs cb into ca: append the new edges and
+            # redirect earlier edges whose target was just absorbed
+            step = chosen.select(
+                F.col("cb").alias("o"), F.col("ca").alias("n")
+            )
+            redirected = (
+                mapping.join(step, mapping.new_cluster_id == step.o, "left")
+                .select(
+                    "old_cluster_id",
+                    F.coalesce(step.n, mapping.new_cluster_id).alias("new_cluster_id"),
+                )
+            )
+            mapping = redirected.unionByName(
+                step.select(F.col("o").alias("old_cluster_id"), F.col("n").alias("new_cluster_id"))
+            ).localCheckpoint(eager=True)
         absorbed = chosen.select(F.col("ca").alias("cluster_id")).union(
             chosen.select(F.col("cb").alias("cluster_id"))
         )
         survivors = cur.join(absorbed, "cluster_id", "left_anti")
         cur = survivors.unionByName(merged)
+    if return_mapping:
+        return cur, mapping
     return cur
 
 

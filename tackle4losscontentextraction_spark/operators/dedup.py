@@ -57,15 +57,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def exact_dup_key(text: Column) -> Column:
+    """THE content digest both batch and streaming dedup key on:
+    md5 of the lowercased, whitespace-normalized text. One definition
+    (streaming/dedup_stream imports it) so the two paths can never
+    silently disagree about what a duplicate is."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (lowercased, ws-normalized) texts.
 
     Returns (dup_key, n_docs, keeper) with keeper = min(id) per group —
     the canonical survivor. Single hash-agg; digests shuffle uniformly.
     """
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("dup_key"))
+        docs.select(F.col(id_col).alias("doc_id"), exact_dup_key(F.col(text_col)).alias("dup_key"))
         .groupBy("dup_key")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
     )
@@ -322,7 +329,8 @@ def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 def simhash_h1_pairs(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs within Hamming distance 1 of the 16-bit simhash.
 
@@ -330,14 +338,25 @@ def simhash_h1_pairs(
     into two 8-bit bands; two signatures within Hamming-1 differ in at
     most one band, so they MUST agree exactly on the other — every
     Hamming<=1 pair collides in at least one (band, band_value) bucket
-    (perfect recall, no per-bit rotations needed: 2 keys per doc
-    instead of 17). Candidates sharing only one band can be up to
-    Hamming-8, so the exact ``bit_count(sig_a XOR sig_b) <= 1`` verify
-    filters them — candidates only, never all pairs.
+    (no per-bit rotations needed: 2 keys per doc instead of 17).
+    Candidates sharing only one band can be up to Hamming-8, so the
+    exact ``bit_count(sig_a XOR sig_b) <= 1`` verify filters them —
+    candidates only, never all pairs.
 
     Physical shape: the minhash bucket pattern — one shuffle on the
-    band key, in-bucket pair expansion (bucket sizes ~N/256 per band),
-    distinct, then a per-row popcount. Returns (id_a, id_b, hamming).
+    band key, in-bucket pair expansion, distinct, then a per-row
+    popcount. Returns (id_a, id_b, hamming).
+
+    Skew guard (``max_bucket``): band buckets grow O(N/256), so the
+    in-bucket quadratic expansion is unbounded in corpus size — the
+    same Zipf problem as jaccard's hot shingles (a popular band value,
+    e.g. the all-zero band from boilerplate, can hold millions of
+    docs). Buckets larger than ``max_bucket`` are dropped BEFORE
+    expansion, bounding the blowup at max_bucket² per key; recall is
+    then perfect only among docs outside pathological buckets (a
+    dropped mega-bucket is itself a dedup signal — its members are
+    near-identical boilerplate better handled by exact dedup).
+    ``max_bucket=None`` restores exhaustive recall for small corpora.
     """
     sigs = docs.select(
         F.col(id_col).alias("doc_id"), simhash16(F.col(text_col)).alias("sig")
@@ -354,6 +373,8 @@ def simhash_h1_pairs(
         .agg(F.array_sort(F.collect_set("m")).alias("ms"))
         .where(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ms") <= max_bucket)
     ms = F.col("ms")
     pair_arrays = F.flatten(
         F.transform(

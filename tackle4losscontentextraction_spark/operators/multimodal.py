@@ -112,7 +112,10 @@ def sample_frames_batch(
             for mid, kind, dur, payload in zip(
                 pdf["media_id"], pdf["media_kind"], pdf["duration_ms"], pdf["payload"]
             ):
-                if kind != "video" or not dur:
+                # NULL duration arrives as NaN (pandas int->float
+                # coercion) which is TRUTHY — guard explicitly or
+                # int(dur) raises and fails the task
+                if kind != "video" or pd.isna(dur) or not dur:
                     continue
                 n = min(max_frames, max(1, int(dur) // every_ms))
                 for i in range(n):
@@ -125,10 +128,14 @@ def sample_frames_batch(
                     except NotImplementedError:
                         frames.append(None)
                         oks.append(False)
-            yield pd.DataFrame(
-                {"media_id": mids, "frame_idx": idxs, "ts_ms": tss,
-                 "frame": frames, "ok": oks}
-            )
+            # a batch with no videos yields nothing: an empty DataFrame
+            # defaults its list column to float64, which Arrow cannot
+            # convert to array<double>
+            if mids:
+                yield pd.DataFrame(
+                    {"media_id": mids, "frame_idx": idxs, "ts_ms": tss,
+                     "frame": frames, "ok": oks}
+                )
 
     src = media.repartition(partitions) if partitions else media
     return src.mapInPandas(fn, schema=out_schema)

@@ -84,7 +84,24 @@ def run_clustering(
     )
     all_assignments = assignments.unionByName(pair_assignments)
 
-    merged = clustering.merge_clusters_fixpoint(all_clusters, merge_threshold)
+    merged, mapping = clustering.merge_clusters_fixpoint(
+        all_clusters, merge_threshold, return_mapping=True
+    )
+    # re-point members of absorbed clusters at their survivor — without
+    # this, assignments recorded under an absorbed id reference a
+    # cluster that no longer exists (and any later recount undercounts
+    # the survivor). mapping is cluster-sized -> broadcast join.
+    all_assignments = (
+        all_assignments.join(
+            F.broadcast(mapping.withColumnRenamed("old_cluster_id", "cluster_id")),
+            "cluster_id", "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("new_cluster_id", "cluster_id").alias("cluster_id"),
+            "cosine",
+        )
+    )
     # drop degenerate (<2 member) clusters; the full recount against the
     # complete membership table (recount_members) is a separate
     # maintenance job in the reference too (cluster count fixer) —

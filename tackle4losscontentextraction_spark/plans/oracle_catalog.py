@@ -943,9 +943,18 @@ banded AS (
   UNION ALL
   SELECT doc_id, sig, 1 AS band, (sig // 256) AS key FROM s
 ),
+-- mirror the operator's max_bucket=1000 skew guard: oversized band
+-- buckets are dropped before pair expansion
+kept AS (
+  SELECT * FROM banded
+  WHERE (band, key) IN (
+    SELECT (band, key) FROM banded GROUP BY band, key
+    HAVING count(*) BETWEEN 2 AND 1000
+  )
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming

@@ -59,9 +59,19 @@ def with_fallback(
         "source_used", F.lit("primary")
     )
     need = flagged.where(F.col("__miss")).drop("__miss")
+    # a raw-fetch capture naturally holds several rows per key (retried
+    # fetches) — keep exactly ONE deterministically (min by the full
+    # row-struct, i.e. lexicographically first) so the output never
+    # duplicates a doc_id
+    sec_cols = [c for c in secondary.columns if c != key]
+    sec_one = (
+        secondary.groupBy(key)
+        .agg(F.min(F.struct(*sec_cols)).alias("__r"))
+        .select(key, *[F.col(f"__r.{c}").alias(c) for c in sec_cols])
+    )
     fb = (
         need.select(key)
-        .join(secondary, key, "inner")
+        .join(sec_one, key, "inner")
         .select(*primary.columns)
         .withColumn("source_used", F.lit("fallback"))
     )

@@ -28,11 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.dedup import exact_dup_key
+
 
 def dedup_key(text_col: str = "text") -> F.Column:
-    """The SAME normalization + digest as dedup.exact_duplicates."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return F.md5(norm)
+    """The batch digest, shared by import — ONE definition of what a
+    duplicate is (operators/dedup.exact_dup_key)."""
+    return exact_dup_key(F.col(text_col))
 
 
 def dedup_stream(

@@ -248,6 +248,66 @@ def test_merge_fixpoint_checkpoints_and_converges(spark):
     assert "Join" not in plan
 
 
+def test_merge_fixpoint_mapping_is_transitive(spark):
+    from tackle4losscontentextraction_spark.operators import clustering
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0], 2),
+        ("b", [0.999, 0.04, 0.0], 2),
+        ("c", [0.998, 0.06, 0.0], 3),
+        ("d", [0.997, 0.07, 0.0], 3),
+    ]
+    clusters = spark.createDataFrame(
+        rows, "cluster_id string, centroid array<double>, member_count bigint"
+    )
+    out, mapping = clustering.merge_clusters_fixpoint(
+        clusters, threshold=0.9, return_mapping=True
+    )
+    final = [r.cluster_id for r in out.collect()]
+    assert final == ["a"]
+    m = {r.old_cluster_id: r.new_cluster_id for r in mapping.collect()}
+    # every absorbed id must resolve DIRECTLY to the final survivor —
+    # transitively composed across passes, no chains left
+    assert m == {"b": "a", "c": "a", "d": "a"}
+
+
+def test_simhash_h1_max_bucket_guard(spark):
+    from tackle4losscontentextraction_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same words every time here") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    # 6 identical sigs -> band buckets of 6; cap 3 drops them
+    assert dedup.simhash_h1_pairs(docs, max_bucket=3).count() == 0
+    assert dedup.simhash_h1_pairs(docs, max_bucket=None).count() == 15
+
+
+def test_fallback_dedups_secondary_and_frame_nan_duration(spark):
+    from tackle4losscontentextraction_spark.operators import multimodal
+    from tackle4losscontentextraction_spark.sources import fallback
+
+    span = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    primary = spark.createDataFrame([(1, None)], f"doc_id bigint, spans {span}")
+    secondary = spark.createDataFrame(
+        [(1, [("text", "fetch A", "", 0)]), (1, [("text", "fetch B", "", 0)])],
+        f"doc_id bigint, spans {span}",
+    )
+    out = fallback.with_fallback(primary, secondary).collect()
+    # several capture rows per key must yield exactly ONE output row,
+    # chosen deterministically (lexicographically first)
+    assert len(out) == 1 and out[0].spans[0].text == "fetch A"
+
+    media = spark.createDataFrame(
+        [("m1", "d1", "video", "video/mp4", 64, 64, None, b"x"),
+         ("m2", "d2", "video", "video/mp4", 64, 64, 3000, b"y")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frames = multimodal.sample_frames_batch(media, every_ms=1000).collect()
+    # NULL duration (NaN in pandas) must not crash; only m2 yields frames
+    assert {f.media_id for f in frames} == {"m2"} and len(frames) == 3
+
+
 def test_kmeans_fit_plan_is_checkpoint_shallow(spark):
     from tackle4losscontentextraction_spark.operators import similarity
 
