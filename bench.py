@@ -271,10 +271,12 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
         except (json.JSONDecodeError, KeyError):
             pass
     plan = [
-        ("catalyst", 2, n_small), ("catalyst", 8, n_small),
         # second independent N->4N pair (judge r2 ask): 4->16 also fits
-        # inside typical free capacity on this box, corroborating 2->8
+        # inside typical free capacity on this box, corroborating 2->8.
+        # It runs FIRST: it is the pair still waiting on a quiet window,
+        # and quiet windows on this box often close within minutes.
         ("catalyst", 4, n_small), ("catalyst", 16, n_small),
+        ("catalyst", 2, n_small), ("catalyst", 8, n_small),
         ("catalyst", 8, n_large), ("catalyst", 32, n_large),
         # Arrow twin pair: independent evidence that the 8->32 decay is
         # shared-JVM allocation, not the dataflow (Python workers are
