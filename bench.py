@@ -268,13 +268,17 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
       window than the big one (the small leg only needs N free cores,
       so it reaches its quiet-box truth much sooner).
     - paired (same-invocation): both legs measured back-to-back in ONE
-      window, ratio taken within it, best paired ratio kept across
-      invocations (with that window's leg times + loads stored). The
-      paired reading controls for window-to-window co-tenancy drift —
-      it is the measurement a dedicated two-cluster run would give.
+      window, ratio taken within it. All same-window samples are kept;
+      the reported paired efficiency is the best ratio among ADMISSIBLE
+      windows — those whose small-leg time is within 20% of that leg's
+      global minimum. Without the admissibility gate a max-over-windows
+      would favor windows where the small leg was contended (slow
+      denominator -> inflated ratio); with it, both legs of the
+      reported window are near their quiet-box truth, which is the
+      measurement a dedicated two-cluster run would give.
     """
     best: dict[tuple[str, int, int], dict] = {}
-    paired: dict[str, dict] = {}
+    paired: dict[str, list] = {}
     prior_path = os.path.join(REPO, "BENCH", "scaling.json")
     if os.path.exists(prior_path):
         try:
@@ -282,21 +286,33 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
                 prior = json.load(f)
             for res in prior.get("results", {}).values():
                 best[(res.get("impl", "catalyst"), res["cores"], res["n_docs"])] = res
-            paired = prior.get("paired", {})
+            for name, p in prior.get("paired_samples", prior.get("paired", {})).items():
+                # accept both the sample-list format and the older
+                # single-best format (converted to a one-sample list)
+                paired[name] = p if isinstance(p, list) else [{
+                    "efficiency": p["efficiency"],
+                    "small_sec": p["small"]["sec"],
+                    "small_load": p["small"].get("load_1min"),
+                    "large_sec": p["large"]["sec"],
+                    "large_load": p["large"].get("load_1min"),
+                }]
         except (json.JSONDecodeError, KeyError):
             pass
     plan = [
         # second independent N->4N pair (judge r2 ask): 4->16 also fits
         # inside typical free capacity on this box, corroborating 2->8.
-        # It runs FIRST: it is the pair still waiting on a quiet window,
-        # and quiet windows on this box often close within minutes.
-        ("catalyst", 4, n_small), ("catalyst", 16, n_small),
-        ("catalyst", 2, n_small), ("catalyst", 8, n_small),
-        ("catalyst", 8, n_large), ("catalyst", 32, n_large),
+        # It runs FIRST (it is the pair still waiting on a quiet
+        # window), and within every pair the LARGE leg runs before the
+        # small one: quiet windows here often close within minutes, the
+        # large leg is the one that needs the whole window, and the
+        # small leg degrades gracefully under whatever load returns.
+        ("catalyst", 16, n_small), ("catalyst", 4, n_small),
+        ("catalyst", 8, n_small), ("catalyst", 2, n_small),
+        ("catalyst", 32, n_large), ("catalyst", 8, n_large),
         # Arrow twin pair: independent evidence that the 8->32 decay is
         # shared-JVM allocation, not the dataflow (Python workers are
         # separate processes)
-        ("arrow", 8, n_large), ("arrow", 32, n_large),
+        ("arrow", 32, n_large), ("arrow", 8, n_large),
     ]
     pairs = [
         ("4_to_16", "catalyst", 4, n_small, 16, n_small),
@@ -317,18 +333,17 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
             fresh[key] = res
             if key not in best or res["sec"] < best[key]["sec"]:
                 best[key] = res
-        # same-window (paired) efficiency for each pair this invocation
+        # same-window (paired) efficiency samples for each pair
         for name, impl, ca, na, cb, nb in pairs:
             a, b = fresh.get((impl, ca, na)), fresh.get((impl, cb, nb))
             if not a or not b:
                 continue
-            eff = round(b["docs_per_sec"] / (4 * a["docs_per_sec"]), 3)
-            if name not in paired or eff > paired[name]["efficiency"]:
-                paired[name] = {
-                    "efficiency": eff,
-                    "small": {k: a[k] for k in ("cores", "sec", "docs_per_sec", "load_1min") if k in a},
-                    "large": {k: b[k] for k in ("cores", "sec", "docs_per_sec", "load_1min") if k in b},
-                }
+            paired.setdefault(name, []).append({
+                "efficiency": round(b["docs_per_sec"] / (4 * a["docs_per_sec"]), 3),
+                "small_sec": a["sec"], "small_load": a.get("load_1min"),
+                "large_sec": b["sec"], "large_load": b.get("load_1min"),
+            })
+            paired[name] = paired[name][-60:]  # bound the stored history
 
     def _eff(impl, ca, na, cb, nb):
         a, b = best.get((impl, ca, na)), best.get((impl, cb, nb))
@@ -340,6 +355,21 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
     eff_4_16 = _eff("catalyst", 4, n_small, 16, n_small)
     eff_8_32 = _eff("catalyst", 8, n_large, 32, n_large)
     arrow_8_32 = _eff("arrow", 8, n_large, 32, n_large)
+
+    # best ADMISSIBLE paired sample per pair: the small leg must be
+    # within 20% of its global-minimum time, else the window's slow
+    # denominator would inflate the ratio (see docstring)
+    paired_best: dict[str, dict] = {}
+    for name, impl, ca, na, cb, nb in pairs:
+        floor = best.get((impl, ca, na), {}).get("sec")
+        if floor is None:
+            continue
+        admissible = [s for s in paired.get(name, [])
+                      if s["small_sec"] <= 1.2 * floor]
+        if admissible:
+            top = max(admissible, key=lambda s: s["efficiency"])
+            paired_best[name] = {**top, "admissible_of": len(paired[name]),
+                                 "small_floor_sec": floor}
     report = {
         "metric": "N->4N scaling efficiency (fixed work per pair, min over interleaved reps)",
         "results": {
@@ -350,12 +380,13 @@ def run_scaling(n_small: int = 300_000, rounds: int = 1, n_large: int = 600_000)
         "efficiency_4_to_16": eff_4_16,
         "efficiency_8_to_32": eff_8_32,
         "arrow_efficiency_8_to_32": arrow_8_32,
-        "paired": paired,
+        "paired": paired_best,
+        "paired_samples": paired,
         "target": 0.8,
         "pass_2_to_8": bool(eff_2_8 and eff_2_8 >= 0.8),
         "pass_4_to_16": bool(eff_4_16 and eff_4_16 >= 0.8),
         "pass_8_to_32": bool(eff_8_32 and eff_8_32 >= 0.8),
-        "paired_pass": {n: bool(p["efficiency"] >= 0.8) for n, p in paired.items()},
+        "paired_pass": {n: bool(p["efficiency"] >= 0.8) for n, p in paired_best.items()},
         "cotenant_load_avg": _load1(),
         "note": "shared machine: co-tenant load caps the 16/32-core configs; "
                 "the 2->8 and 4->16 pairs fit in free capacity when a quiet "
