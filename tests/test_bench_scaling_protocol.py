@@ -1,11 +1,12 @@
 """Sparkless tests for bench.py --scaling's accumulation protocol.
 
 The shared-box measurement protocol (min-merge per leg, same-window
-paired samples, the small-leg admissibility gate) is evidence
-infrastructure for the north rule's N -> 4N criterion — worth pinning:
-a silent regression here would quietly corrupt the scaling record the
-judge reads. run_scaling's child legs are subprocess calls, so the
-whole protocol is testable by faking subprocess.run — no Spark needed.
+paired samples, the small-leg admissibility gate, per-pair corpus
+sizes) is evidence infrastructure for the north rule's N -> 4N
+criterion — worth pinning: a silent regression here would quietly
+corrupt the scaling record the judge reads. run_scaling's child legs
+are subprocess calls, so the whole protocol is testable by faking
+subprocess.run — no Spark needed.
 """
 from __future__ import annotations
 
@@ -30,7 +31,7 @@ class _Result:
         self.stdout = json.dumps(payload)
 
 
-def _run(tmp_path, monkeypatch, leg_sec, prior=None):
+def _run(tmp_path, monkeypatch, leg_sec, prior=None, only=None):
     """Run one run_scaling invocation against fabricated leg timings.
 
     leg_sec: {(impl, cores, n_docs): wall_sec} for every leg of the plan.
@@ -50,18 +51,21 @@ def _run(tmp_path, monkeypatch, leg_sec, prior=None):
         return _Result(_fake_leg(cores, n, sec, impl=impl))
 
     monkeypatch.setattr(bench.subprocess, "run", fake_run)
-    bench.run_scaling(300_000, 1)
+    bench.run_scaling(rounds=1, only=only)
     with open(os.path.join(repo, "BENCH", "scaling.json")) as f:
         return json.load(f)
 
 
-# a perfectly-scaling box: per-core rate constant at 5000 docs/s
+# every leg of the r4 PAIRS plan on a perfectly-scaling box:
+# per-core rate constant at 5000 docs/s
 PERFECT = {
-    ("catalyst", 16, 300_000): 3.75, ("catalyst", 4, 300_000): 15.0,
+    ("catalyst", 16, 1_200_000): 15.0, ("catalyst", 4, 1_200_000): 60.0,
+    ("catalyst", 32, 2_400_000): 15.0, ("catalyst", 8, 2_400_000): 60.0,
+    ("arrow", 32, 2_400_000): 15.0, ("arrow", 8, 2_400_000): 60.0,
     ("catalyst", 8, 300_000): 7.5, ("catalyst", 2, 300_000): 30.0,
-    ("catalyst", 32, 600_000): 3.75, ("catalyst", 8, 600_000): 15.0,
-    ("arrow", 32, 600_000): 3.75, ("arrow", 8, 600_000): 15.0,
 }
+SMALL_LEGS = [("catalyst", 4, 1_200_000), ("catalyst", 8, 2_400_000),
+              ("arrow", 8, 2_400_000), ("catalyst", 2, 300_000)]
 
 
 def test_perfect_scaling_reports_pass(tmp_path, monkeypatch):
@@ -73,6 +77,9 @@ def test_perfect_scaling_reports_pass(tmp_path, monkeypatch):
         "4_to_16": True, "2_to_8": True, "8_to_32": True,
         "arrow_8_to_32": True,
     }
+    # every paired sample carries the corpus size it was measured on
+    assert all(s["n_docs"] == d["pair_sizes"][name]
+               for name, ss in d["paired_samples"].items() for s in ss)
 
 
 def test_min_merge_keeps_best_leg_across_invocations(tmp_path, monkeypatch):
@@ -80,11 +87,11 @@ def test_min_merge_keeps_best_leg_across_invocations(tmp_path, monkeypatch):
     first = _run(tmp_path, monkeypatch, slow)
     # second invocation: only the 16-leg improves; everything else worse
     mixed = {k: v * 5 for k, v in PERFECT.items()}
-    mixed[("catalyst", 16, 300_000)] = PERFECT[("catalyst", 16, 300_000)]
+    mixed[("catalyst", 16, 1_200_000)] = PERFECT[("catalyst", 16, 1_200_000)]
     second = _run(tmp_path, monkeypatch, mixed, prior=first)
     legs = second["results"]
-    assert legs["local16_n300000"]["sec"] == 3.75  # improved leg kept
-    assert legs["local4_n300000"]["sec"] == 45.0   # old minimum kept
+    assert legs["local16_n1200000"]["sec"] == 15.0  # improved leg kept
+    assert legs["local4_n1200000"]["sec"] == 180.0  # old minimum kept
 
     # global ratio now mixes windows: quiet 16-leg over slow 4-leg
     # reads as >1 — exactly the cross-window distortion the paired
@@ -99,9 +106,8 @@ def test_admissibility_gate_rejects_contended_small_leg(tmp_path, monkeypatch):
     # every small leg fails the <=1.2x-of-floor gate, so the reported
     # paired best must remain the earlier honest 1.0 sample
     contended_small = dict(PERFECT)
-    for impl, cores, n in [("catalyst", 4, 300_000), ("catalyst", 2, 300_000),
-                           ("catalyst", 8, 600_000), ("arrow", 8, 600_000)]:
-        contended_small[(impl, cores, n)] = PERFECT[(impl, cores, n)] * 2
+    for key in SMALL_LEGS:
+        contended_small[key] = PERFECT[key] * 2
     d = _run(tmp_path, monkeypatch, contended_small, prior=quiet)
     for pair in ("4_to_16", "2_to_8", "8_to_32", "arrow_8_to_32"):
         assert d["paired"][pair]["efficiency"] == 1.0, pair
@@ -109,30 +115,64 @@ def test_admissibility_gate_rejects_contended_small_leg(tmp_path, monkeypatch):
         assert len(d["paired_samples"][pair]) == 2
 
 
-def test_legacy_single_best_paired_format_converts(tmp_path, monkeypatch):
+def test_legacy_smaller_corpus_samples_are_kept_but_not_reported(tmp_path, monkeypatch):
+    """Pre-r4 paired samples were measured on smaller corpora (4_to_16
+    at 300k docs vs 1.2M now). They must survive in the history —
+    stamped with their legacy size — but never be selected as the
+    reported reading for the grown pair, even with an absurdly good
+    ratio: the ratio was measured on different work."""
     prior = {
         "results": {
             "local4_n300000": _fake_leg(4, 300_000, 15.0),
             "local16_n300000": _fake_leg(16, 300_000, 3.75),
         },
-        # old format: one best sample per pair, nested small/large dicts
+        # old format: one best sample per pair, nested small/large
+        # dicts, no n_docs stamp — and an impossible 1.5 efficiency
         "paired": {
             "4_to_16": {
-                "efficiency": 0.9,
+                "efficiency": 1.5,
                 "small": {"cores": 4, "sec": 15.5, "docs_per_sec": 19354.8,
                           "load_1min": 1.0},
-                "large": {"cores": 16, "sec": 4.3, "docs_per_sec": 69767.4,
+                "large": {"cores": 16, "sec": 2.6, "docs_per_sec": 115384.6,
                           "load_1min": 1.0},
             },
         },
     }
-    worse = {k: v * 2 for k, v in PERFECT.items()}
-    d = _run(tmp_path, monkeypatch, worse, prior=prior)
+    d = _run(tmp_path, monkeypatch, PERFECT, prior=prior)
     samples = d["paired_samples"]["4_to_16"]
-    assert samples[0]["small_sec"] == 15.5  # legacy sample carried over
-    # legacy sample is admissible (15.5 <= 1.2 * 15.0) and better than
-    # the contended fresh one -> it is the reported best
-    assert d["paired"]["4_to_16"]["efficiency"] == 0.9
+    assert samples[0]["small_sec"] == 15.5          # legacy sample kept
+    assert samples[0]["n_docs"] == 300_000          # stamped with its size
+    # reported best is the fresh current-size sample, not the legacy 1.5
+    assert d["paired"]["4_to_16"]["efficiency"] == 1.0
+    assert d["paired"]["4_to_16"]["n_docs"] == 1_200_000
+    # the legacy leg minima stay visible in results under their own key
+    assert d["results"]["local16_n300000"]["sec"] == 3.75
+
+
+def test_pair_mode_runs_single_pair(tmp_path, monkeypatch):
+    """--pair NAME must touch only that pair's two legs (it is the
+    quiet-window harvester's scheduling unit)."""
+    ran = []
+
+    def fake_run(cmd, **kw):
+        impl, cores, n = cmd[-1], int(cmd[-3]), int(cmd[-2])
+        ran.append((impl, cores, n))
+        return _Result(_fake_leg(cores, n, PERFECT[(impl, cores, n)], impl=impl))
+
+    repo = str(tmp_path)
+    os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
+    monkeypatch.setattr(bench, "REPO", repo)
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    bench.run_scaling(rounds=1, only="8_to_32")
+    # large leg first (it needs the whole quiet window), then small
+    assert ran == [("catalyst", 32, 2_400_000), ("catalyst", 8, 2_400_000)]
+    with open(os.path.join(repo, "BENCH", "scaling.json")) as f:
+        d = json.load(f)
+    assert d["paired"]["8_to_32"]["efficiency"] == 1.0
+    assert "4_to_16" not in d["paired_samples"]
+
+    with pytest.raises(SystemExit):
+        bench.run_scaling(rounds=1, only="nope")
 
 
 def test_sample_history_is_bounded(tmp_path, monkeypatch):
