@@ -73,9 +73,11 @@ def main() -> int:
     # without them.
     memberships = out["assignments"].select("vec_id", "cluster_id")
     if args.memberships:
-        memberships = memberships.unionByName(
-            spark.read.parquet(args.memberships).select("vec_id", "cluster_id")
-        ).dropDuplicates(["vec_id"])
+        memberships = cluster_pipeline.reconcile_memberships(
+            memberships,
+            spark.read.parquet(args.memberships),
+            out["merge_mapping"],
+        )
     run_maint = args.clusters is None or args.memberships is not None
     if run_maint:
         maint = cluster_pipeline.run_maintenance(out["clusters"], memberships, vectors)

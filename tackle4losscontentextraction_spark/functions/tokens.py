@@ -85,7 +85,11 @@ def token_count_bpe(col: Column, merges: list[tuple[str, str]] | None = None) ->
     if merges is None:
         merges = BPE_MERGES
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
-    s = F.regexp_replace(norm, "(.)", _D + "$1" + _D)
+    # (?s): Java's dot excludes line terminators (U+2028/U+2029/U+0085)
+    # by default, so without DOTALL those chars would silently escape
+    # the symbol wrap and diverge from the Python/DuckDB twins (whose
+    # dot excludes only \n, which never survives normalization)
+    s = F.regexp_replace(norm, "(?s)(.)", _D + "$1" + _D)
     for a, b in merges:
         s = F.replace(s, F.lit(f"{_D}{a}{_D}{_D}{b}{_D}"), F.lit(f"{_D}{a}{b}{_D}"))
     n_sym = (F.length(s) - F.length(F.replace(s, F.lit(_D), F.lit("")))) / 2
@@ -95,12 +99,18 @@ def token_count_bpe(col: Column, merges: list[tuple[str, str]] | None = None) ->
 
 def bpe_tokens_py(text: str, merges: list[tuple[str, str]] | None = None) -> int:
     """Pure-Python twin of :func:`token_count_bpe` (property tests /
-    pyoracle): same normalize + rank-ordered str.replace fold."""
+    pyoracle): same normalize + rank-ordered str.replace fold.
+
+    Whitespace is pinned to ASCII semantics — Java's ``\\s`` (and the
+    DuckDB oracle's) matches only ``[ \\t\\n\\x0B\\f\\r]``, while
+    Python's ``\\s`` / ``str.strip()`` are Unicode-aware; without the
+    pin, interior U+00A0/U+2009 etc. collapse in the Python twin but
+    count as character symbols in the other two engines."""
     if merges is None:
         merges = BPE_MERGES
     import re as _re
 
-    norm = _re.sub(r"\s+", " ", text.strip().lower())
+    norm = _re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" \t\n\x0b\f\r").lower())
     s = "".join(_D + c + _D for c in norm)
     for a, b in merges:
         s = s.replace(f"{_D}{a}{_D}{_D}{b}{_D}", f"{_D}{a}{b}{_D}")

@@ -43,7 +43,10 @@ def mark_content_stale(clusters: DataFrame, touched: DataFrame) -> DataFrame:
     clusters in the ``touched`` set get ``is_content = false``; the rest
     keep their flag. ``touched``: (cluster_id) of clusters whose
     centroid/member_count changed this pass."""
-    t = touched.select("cluster_id", F.lit(True).alias("__touched"))
+    # distinct first: touched arrives at whatever grain the caller had
+    # (often one row per member), and a left join against duplicate
+    # cluster_ids would duplicate cluster rows in the output
+    t = touched.select("cluster_id").distinct().withColumn("__touched", F.lit(True))
     return (
         clusters.join(t, "cluster_id", "left")
         .withColumn(
@@ -108,7 +111,40 @@ def run_clustering(
     # this batch only sees its own assignments.
     final = merged.where(F.col("member_count") >= 2)
     still_pending = vectors.join(all_assignments.select("vec_id"), "vec_id", "left_anti")
-    return {"clusters": final, "assignments": all_assignments, "pending": still_pending}
+    # merge_mapping is part of the contract: an incremental caller holds
+    # membership rows from PRIOR runs, and if this run's fixpoint
+    # absorbed one of those clusters the caller must re-point them too
+    # (jobs/run_clustering.py) — otherwise a later recount undercounts
+    # the survivor and can wrongly drop it.
+    return {
+        "clusters": final,
+        "assignments": all_assignments,
+        "pending": still_pending,
+        "merge_mapping": mapping,
+    }
+
+
+def reconcile_memberships(
+    fresh: DataFrame, prior: DataFrame, merge_mapping: DataFrame
+) -> DataFrame:
+    """Build the COMPLETE membership table an incremental run must feed
+    into maintenance: prior rows are (1) re-pointed through this run's
+    merge mapping (their cluster may have been absorbed — without the
+    re-point, recount undercounts the survivor and can wrongly drop it
+    and unassign its members) and (2) anti-joined against the fresh
+    batch so a re-assigned vector deterministically keeps its NEW
+    cluster (a dropDuplicates over the union would keep an arbitrary
+    row). merge_mapping is cluster-count-sized -> broadcast."""
+    mapping = merge_mapping.withColumnRenamed("old_cluster_id", "cluster_id")
+    prior = prior.select("vec_id", "cluster_id").join(
+        F.broadcast(mapping), "cluster_id", "left"
+    ).select(
+        "vec_id", F.coalesce("new_cluster_id", "cluster_id").alias("cluster_id")
+    )
+    fresh = fresh.select("vec_id", "cluster_id")
+    return fresh.unionByName(
+        prior.join(fresh.select("vec_id"), "vec_id", "left_anti")
+    )
 
 
 def run_maintenance(
