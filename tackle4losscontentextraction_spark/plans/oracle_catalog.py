@@ -324,12 +324,25 @@ SELECT vec_id,
 FROM u
 """,
     # -- events ---------------------------------------------------------------
+    # the former events_rates oracle rides along joined on event_type —
+    # consolidated with the Spark side (see queries.q_events_window)
     "events_window": """
-SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
-       count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS sum_value
-FROM events
-GROUP BY 1, 2
+WITH w AS (
+  SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start, event_type,
+         count(*)::BIGINT AS n_events,
+         round(sum(value), 6) AS sum_value
+  FROM events
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, count(*)::BIGINT AS type_n,
+         round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS type_share,
+         round(avg(value), 6) AS type_avg_value
+  FROM events GROUP BY event_type
+)
+SELECT w.window_start, w.event_type, w.n_events, w.sum_value,
+       r.type_n, r.type_share, r.type_avg_value
+FROM w JOIN r ON w.event_type = r.event_type
 """,
     "events_sessions": """
 WITH flagged AS (
@@ -350,12 +363,6 @@ SELECT user_id::BIGINT AS user_id, sess_idx::BIGINT AS sess_idx,
        count(*)::BIGINT AS n_events,
        (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
 FROM sess GROUP BY user_id, sess_idx
-""",
-    "events_rates": """
-SELECT event_type, count(*)::BIGINT AS n,
-       round(count(*) / (SELECT count(*)::DOUBLE FROM events), 6) AS share,
-       round(avg(value), 6) AS avg_value
-FROM events GROUP BY event_type
 """,
     "confidence_clamp": """
 SELECT event_id::BIGINT AS event_id,
@@ -987,4 +994,14 @@ SELECT doc_id,
        (CASE WHEN trim(norm) = '' THEN 0
              ELSE len(string_split_regex(trim(norm), '\\s+')) END)::BIGINT AS n_ws
 FROM m
+"""
+
+# round 4: raw-HTML DOM tokenizer round trip. The oracle never sees
+# HTML — it derives the span tuples arithmetically from `documents`
+# (the same raw_spans CTE the extraction oracles use), so a hash match
+# proves render_html -> tokenize_html reproduced the corpus exactly.
+ORACLES["html_tokenize"] = f"""
+WITH {oracles.spans_cte()}
+SELECT did AS doc_id, i::BIGINT AS offset, kind, raw AS text, media_ref
+FROM raw_spans
 """

@@ -449,14 +449,24 @@ def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-minute tumbling window aggregate (batch twin of the Structured
-    Streaming pipeline in streaming/)."""
+    Streaming pipeline in streaming/), joined with the per-type rate
+    summary (A7 analog) — the former standalone ``events_rates`` query,
+    consolidated on the event_type key to stay inside the driver's
+    50-query snapshot (its oracle SQL is joined verbatim too)."""
     ev = _t(spark, sf_dir, "events")
     win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint")
-    return (
+    windowed = (
         ev.groupBy(win.alias("window_start"), "event_type")
         .agg(F.count("*").cast("bigint").alias("n_events"),
              F.round(F.sum("value"), 6).alias("sum_value"))
     )
+    rates = q_events_rates(spark, sf_dir).select(
+        "event_type",
+        F.col("n").alias("type_n"),
+        F.col("share").alias("type_share"),
+        F.col("avg_value").alias("type_avg_value"),
+    )
+    return windowed.join(F.broadcast(rates), "event_type")
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,7 +550,6 @@ SPARK_QUERIES: dict[str, Query] = {
     "l2_normalize": q_l2_normalize,
     "events_window": q_events_window,
     "events_sessions": q_events_sessions,
-    "events_rates": q_events_rates,
     "confidence_clamp": q_confidence_clamp,
 }
 
@@ -1139,3 +1148,34 @@ SPARK_QUERIES.update({
     "dedup_simhash_h1": q_dedup_simhash_h1,
     "token_count_bpe": q_token_count_bpe,
 })
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: the raw-HTML entry surface (north star "batched
+# DOM tokenization" — ref extractContent.py:258-320 consumes fetched
+# HTML; the readability fallback :208-217 parses raw markup). Registry
+# stays at 50: events_rates was consolidated into events_window above.
+# ---------------------------------------------------------------------------
+
+
+def q_html_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the span corpus to real HTML pages (Catalyst projection),
+    then DOM-tokenize the HTML back into spans with the stdlib parser
+    inside mapInPandas (operators/html_tokenize.py). The oracle derives
+    the spans arithmetically and never sees HTML — a hash match proves
+    the full render -> entity-escape -> parse -> suppress-chrome round
+    trip is exact, span-for-span."""
+    from ..operators import html_tokenize as ht
+
+    docs = _docs(spark, sf_dir).select("doc_id", "spans")
+    parsed = ht.tokenize_html(ht.render_html(docs))
+    return parsed.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").cast("bigint").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+SPARK_QUERIES["html_tokenize"] = q_html_tokenize
