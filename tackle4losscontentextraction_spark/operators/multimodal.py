@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode kernels themselves are STUBBED (image/audio libs are not in
-this container): ``decode_image_batch`` produces a deterministic fake
-feature vector from the bytes so the Spark-side plumbing — schema,
-batch shape, partitioning, UDF signature — is real and tested; swap the
-kernel for PIL/ffmpeg on a real cluster.
+Decode kernels, per mime:
+
+- ``image/bmp`` — REAL decode (operators/bmp.py): header parse,
+  bottom-up BGR row extraction, pixel-derived features, numpy resize.
+  No image library needed; malformed payloads yield ok=false rows.
+- compressed mimes (jpeg/mp4) — deterministic hash STAND-IN
+  (``_fake_decode``): the codecs are not in this container, so the
+  kernel is faked while the Spark-side plumbing — schema, batch shape,
+  partitioning, UDF signature — stays real and tested; swap PIL/ffmpeg
+  in on a real cluster.
 
 Scale notes: media bytes ride in their own column so Parquet column
 pruning skips them unless the stage needs them; decode fan-out uses
@@ -66,17 +71,31 @@ def _fake_decode(payload: bytes | None) -> list[float]:
 def decode_image_batch(media: DataFrame, partitions: int | None = None) -> DataFrame:
     """mapInPandas decode: (media_id, feature array<float>, ok bool).
 
-    Real kernel would decode/resize/frame-sample here; the Arrow batch
-    shape and output schema are what a swap-in implementation keeps."""
+    Dispatches on mime: ``image/bmp`` runs the real pixel kernel
+    (decode + feature extraction, malformed -> ok=false); compressed
+    mimes run the documented hash stand-in. The Arrow batch shape and
+    output schema are what a PIL/ffmpeg swap-in keeps."""
     out_schema = "media_id string, feature array<double>, ok boolean"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import bmp
+
         for pdf in batches:
             feats, oks = [], []
-            for payload, kind in zip(pdf["payload"], pdf["media_kind"]):
+            for payload, kind, mime in zip(
+                pdf["payload"], pdf["media_kind"], pdf["mime"]
+            ):
                 if kind not in ("image", "video"):
                     feats.append(None)
                     oks.append(False)
+                    continue
+                if mime == "image/bmp":
+                    try:
+                        feats.append(bmp.bmp_features(bmp.decode_bmp(payload)))
+                        oks.append(True)
+                    except ValueError:
+                        feats.append(None)
+                        oks.append(False)
                     continue
                 try:
                     feats.append(_fake_decode(payload))
@@ -144,21 +163,76 @@ def sample_frames_batch(
 def resize_image_batch(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: binary -> binary Pandas UDF keeping the media schema
     (payload replaced, width/height metadata updated) — the in-place
-    transform shape of a PIL thumbnail kernel. The stub payload is an
-    md5 of (payload, target size): deterministic, size-dependent."""
+    transform shape of a PIL thumbnail kernel. ``image/bmp`` payloads
+    get a REAL nearest-neighbor resample (decode -> index-math resize
+    -> re-encode); undecodable BMPs pass through unchanged. Compressed
+    mimes keep the md5 stand-in payload: deterministic, size-dependent."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from . import bmp
+
+        def one(payload, kind, mime):
+            if kind != "image":
+                return payload, False
+            if mime == "image/bmp":
+                try:
+                    px = bmp.resize_nearest(bmp.decode_bmp(payload), width, height)
+                    return bmp.encode_bmp(px), True
+                except ValueError:
+                    return payload, False
+            return hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest(), True
+
         for pdf in batches:
             out = pdf.copy()
-            out["payload"] = [
-                hashlib.md5((p or b"") + f"{width}x{height}".encode()).digest()
-                if k == "image" else p
-                for p, k in zip(pdf["payload"], pdf["media_kind"])
-            ]
-            out["width"] = [width if k == "image" else w for w, k in zip(pdf["width"], pdf["media_kind"])]
-            out["height"] = [height if k == "image" else h for h, k in zip(pdf["height"], pdf["media_kind"])]
+            res = [one(p, k, m) for p, k, m in
+                   zip(pdf["payload"], pdf["media_kind"], pdf["mime"])]
+            out["payload"] = [p for p, _ in res]
+            out["width"] = [width if ok else w
+                            for (_, ok), w in zip(res, pdf["width"])]
+            out["height"] = [height if ok else h
+                             for (_, ok), h in zip(res, pdf["height"])]
+            yield out
+
+    return media.mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def synth_bmp_payloads(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Upgrade image rows to REAL encoded BMPs of the closed-form test
+    pattern (bmp.synth_pattern, seed = (doc_int * 31 + offset * 7) %
+    256 derived from media_id 'd%08d#offset'); mime -> image/bmp.
+    Non-image rows pass through. The DuckDB oracle computes the same
+    features analytically from (seed, w, h) without ever seeing bytes,
+    so a downstream decode hash-match proves the encode -> decode
+    round trip."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import bmp
+
+        for pdf in batches:
+            pays, mimes, ws, hs = [], [], [], []
+            for mid, kind, pay, mime, w0, h0 in zip(
+                pdf["media_id"], pdf["media_kind"], pdf["payload"],
+                pdf["mime"], pdf["width"], pdf["height"],
+            ):
+                if kind == "image":
+                    did, off = mid.split("#")
+                    seed = (int(did[1:]) * 31 + int(off) * 7) % 256
+                    pays.append(bmp.encode_bmp(bmp.synth_pattern(width, height, seed)))
+                    mimes.append("image/bmp")
+                    ws.append(width)
+                    hs.append(height)
+                else:
+                    pays.append(pay)
+                    mimes.append(mime)
+                    ws.append(w0)
+                    hs.append(h0)
+            out = pdf.copy()
+            out["payload"] = pays
+            out["mime"] = mimes
+            out["width"] = ws
+            out["height"] = hs
             yield out
 
     return media.mapInPandas(fn, schema=MEDIA_SCHEMA)

@@ -689,33 +689,76 @@ SELECT doc_id, domain,
 FROM d
 """
 
-# multimodal decode: the deterministic FNV-style kernel
-# (multimodal._fake_decode) re-expressed over the media refs' ASCII
-# bytes — list_reduce with the same 32-bit multiply-accumulate
+# multimodal decode, two kernels:
+# - video rows: the deterministic FNV-style stand-in
+#   (multimodal._fake_decode) re-expressed over the media refs' ASCII
+#   bytes — list_reduce with the same 32-bit multiply-accumulate
+# - image rows: the REAL BMP kernel's features computed in CLOSED FORM
+#   from the synthetic pattern p(x,y,c) = (x + 2y + 37c + seed) % 256
+#   (bmp.synth_pattern) — the oracle never touches bytes, so matching
+#   the Spark side (which encodes real BMPs and decodes them back)
+#   proves the encode -> header-parse -> pixel-extract round trip.
+#   Denominators: channel mean 256*255=65280; quadrant luma
+#   64*3*255=48960; global luma 256*3*255=195840; min/max luma 765;
+#   width/height 16/1024=0.015625.
 ORACLES["media_decode"] = f"""
 WITH {oracles.spans_cte()},
 media AS (
-  SELECT did || '#' || out_offset::VARCHAR AS media_id, media_ref
+  SELECT did || '#' || out_offset::VARCHAR AS media_id, kind, media_ref,
+         (CAST(substr(did, 2) AS BIGINT) * 31 + out_offset * 7) % 256 AS seed
   FROM (
-    SELECT did, media_ref,
+    SELECT did, kind, media_ref,
            (row_number() OVER (PARTITION BY did ORDER BY i, sub) - 1) AS out_offset
     FROM expanded
   )
   WHERE media_ref <> ''
 ),
-bytes AS (
+vbytes AS (
   SELECT media_id,
          list_transform(range(1, least(length(media_ref), 256) + 1),
                         i -> ord(substr(media_ref, i::INT, 1))) AS bs
-  FROM media
+  FROM media WHERE kind = 'video'
+),
+vfeat AS (
+  SELECT media_id,
+         t.j::BIGINT AS pos,
+         round(((list_reduce(list_prepend(xor(2166136261::BIGINT, t.j), bs),
+                             (a, b) -> (a * 16777619 + b) & 4294967295)) % 10000)
+               / 10000.0, 6) AS val,
+         true AS ok
+  FROM vbytes, LATERAL unnest(range(0, 16)) t(j)
+),
+ipx AS (
+  SELECT media_id, t1.x, t2.y,
+         (t1.x + 2 * t2.y + seed) % 256 AS p0,
+         (t1.x + 2 * t2.y + 37 + seed) % 256 AS p1,
+         (t1.x + 2 * t2.y + 74 + seed) % 256 AS p2
+  FROM media,
+  LATERAL unnest(range(0, 16)) t1(x),
+  LATERAL unnest(range(0, 16)) t2(y)
+  WHERE kind = 'image'
+),
+iagg AS (
+  SELECT media_id,
+         sum(p0) AS s0, sum(p1) AS s1, sum(p2) AS s2,
+         sum(CASE WHEN y < 8 AND x < 8 THEN p0 + p1 + p2 ELSE 0 END) AS qtl,
+         sum(CASE WHEN y < 8 AND x >= 8 THEN p0 + p1 + p2 ELSE 0 END) AS qtr,
+         sum(CASE WHEN y >= 8 AND x < 8 THEN p0 + p1 + p2 ELSE 0 END) AS qbl,
+         sum(CASE WHEN y >= 8 AND x >= 8 THEN p0 + p1 + p2 ELSE 0 END) AS qbr,
+         min(p0 + p1 + p2) AS mn, max(p0 + p1 + p2) AS mx
+  FROM ipx GROUP BY media_id
+),
+ifeat AS (
+  SELECT media_id, t.j::BIGINT AS pos,
+         round(([s0 / 65280.0, s1 / 65280.0, s2 / 65280.0,
+                 qtl / 48960.0, qtr / 48960.0, qbl / 48960.0, qbr / 48960.0,
+                 (s0 + s1 + s2) / 195840.0,
+                 mn / 765.0, mx / 765.0,
+                 0.015625, 0.015625, 0.0, 0.0, 0.0, 0.0])[t.j::INT + 1], 6) AS val,
+         true AS ok
+  FROM iagg, LATERAL unnest(range(0, 16)) t(j)
 )
-SELECT media_id,
-       t.j::BIGINT AS pos,
-       round(((list_reduce(list_prepend(xor(2166136261::BIGINT, t.j), bs),
-                           (a, b) -> (a * 16777619 + b) & 4294967295)) % 10000)
-             / 10000.0, 6) AS val,
-       true AS ok
-FROM bytes, LATERAL unnest(range(0, 16)) t(j)
+SELECT * FROM vfeat UNION ALL SELECT * FROM ifeat
 """
 
 # end-to-end learned IVF: the kmeans CTE chain (c2 = fitted, normalized

@@ -915,15 +915,18 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: media spans -> typed media table
+    """Multimodal decode end-to-end: media spans -> typed media table
     (binary payload column) -> Arrow mapInPandas decode -> feature
-    vectors. The decode kernel is the documented deterministic stand-in
-    (operators/multimodal.py), which makes the whole path — schema,
-    batching, UDF signature — oracle-checkable, not just unit-tested."""
+    vectors. Image rows carry REAL encoded BMPs of the closed-form test
+    pattern and run the real pixel kernel (operators/bmp.py: header
+    parse -> pixel extraction -> features); the oracle computes those
+    features analytically without ever seeing bytes, so the hash match
+    proves the encode -> decode round trip. Video rows keep the
+    documented hash stand-in (no mp4 codec in this container)."""
     from ..operators import multimodal
 
     out = _extracted(spark, sf_dir)
-    media = multimodal.synth_media_table(out)
+    media = multimodal.synth_bmp_payloads(multimodal.synth_media_table(out))
     feats = multimodal.decode_image_batch(media)
     return feats.select(
         "media_id",
