@@ -49,8 +49,8 @@ def _log(msg: str) -> None:
         pass
 
 
-def _paired_state() -> dict[str, float]:
-    """name -> best current-size paired efficiency (0.0 if none yet)."""
+def _paired_state() -> dict[str, tuple[float, int]]:
+    """name -> (best current-size paired efficiency, #current-size samples)."""
     try:
         with open(SCALING) as f:
             d = json.load(f)
@@ -58,16 +58,28 @@ def _paired_state() -> dict[str, float]:
         return {}
     sizes = d.get("pair_sizes", {})
     out = {}
-    for name, p in d.get("paired", {}).items():
-        if p.get("n_docs") == sizes.get(name):
-            out[name] = p.get("efficiency", 0.0)
+    for name in PRIORITY:
+        p = d.get("paired", {}).get(name, {})
+        eff = p.get("efficiency", 0.0) if p.get("n_docs") == sizes.get(name) else 0.0
+        n = sum(1 for s in d.get("paired_samples", {}).get(name, [])
+                if s.get("n_docs") == sizes.get(name))
+        out[name] = (eff, n)
     return out
+
+
+def _settled(eff: float, n: int) -> bool:
+    """A pair is settled once it holds a CREDIBLE passing reading:
+    >=3 same-size samples (so the admissibility floor is real, not the
+    single sample gating itself) and efficiency in [target, 1.05] —
+    a >1.05 'efficiency' means the small leg was contended, not that
+    the code scales superlinearly."""
+    return n >= 3 and TARGET <= eff <= 1.05
 
 
 def pick_pair(load: float, rotate: int) -> str | None:
     state = _paired_state()
     needy = [n for n in PRIORITY
-             if state.get(n, 0.0) < TARGET and load < LOAD_GATE[n]]
+             if not _settled(*state.get(n, (0.0, 0))) and load < LOAD_GATE[n]]
     if needy:
         return needy[0]
     eligible = [n for n in PRIORITY if load < LOAD_GATE[n]]
@@ -107,9 +119,9 @@ def main() -> None:
         except subprocess.TimeoutExpired:
             ok = False
         rotate += 1
-        state = _paired_state()
+        state = {k: f"{e:.3f}/{n}" for k, (e, n) in _paired_state().items()}
         _log(f"{tag} done ok={ok} {time.time() - t0:.0f}s "
-             f"paired={json.dumps(state)} load_now={os.getloadavg()[0]:.1f}")
+             f"paired(eff/n)={json.dumps(state)} load_now={os.getloadavg()[0]:.1f}")
         time.sleep(5)
 
 
