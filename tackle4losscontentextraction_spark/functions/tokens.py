@@ -119,6 +119,138 @@ def bpe_tokens_py(text: str, merges: list[tuple[str, str]] | None = None) -> int
     return n_sym - n_space
 
 
+def token_count_bpe_hof(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Catalyst fold of the merge table via ``F.aggregate`` — one flat
+    expression whose rule loop runs at execution time, so it works at
+    vocab sizes where a chained-``F.replace`` tree (O(rules) expression
+    depth) would blow up the planner.  Same semantics as
+    :func:`token_count_bpe`: rank-ordered left-to-right non-overlapping
+    replace over the delimited symbol string.  JVM-side, no Python
+    worker — but still O(rules x length) per row; for big tables prefer
+    :func:`token_count_bpe_arrow` (word-level encode + cache)."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    wrapped = F.regexp_replace(norm, "(?s)(.)", _D + "$1" + _D)
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(f"{_D}{a}{_D}{_D}{b}{_D}").alias("p"),
+                F.lit(f"{_D}{a}{b}{_D}").alias("r"),
+            )
+            for a, b in merges
+        ]
+    )
+    s = F.aggregate(rules, wrapped, lambda acc, m: F.replace(acc, m.p, m.r))
+    n_sym = (F.length(s) - F.length(F.replace(s, F.lit(_D), F.lit("")))) / 2
+    n_space = F.length(norm) - F.length(F.replace(norm, F.lit(" "), F.lit("")))
+    return (n_sym - n_space).cast("bigint")
+
+
+def _encode_word_ntok(word: str, merges: list[tuple[str, str]],
+                      rank_of: dict[tuple[str, str], int]) -> int:
+    """Token count of one whitespace-free word under the rank-ordered
+    replace fold — algorithmically fast (only ranks whose pair actually
+    occurs are visited, via a min-heap) but EXACTLY fold-equivalent:
+
+    ranks are processed strictly increasing (``applied`` advances on
+    every pop, hit or stale), so a pair that becomes adjacent only
+    after a higher-ranked merge is skipped — precisely what the
+    replace chain does, and precisely where a tiktoken-style global
+    priority queue would differ.  Each applied rank merges ALL
+    occurrences left-to-right non-overlapping, matching the scan order
+    of java/duckdb/python ``replace``.
+    """
+    toks = list(word)
+    if len(toks) < 2:
+        return len(toks)
+    import heapq
+
+    heap = sorted({rank_of[p] for p in zip(toks, toks[1:]) if p in rank_of})
+    applied = -1
+    while heap:
+        r = heapq.heappop(heap)
+        if r <= applied:
+            continue
+        applied = r
+        a, b = merges[r]
+        out: list[str] = []
+        i, n, changed = 0, len(toks), False
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+                changed = True
+            else:
+                out.append(toks[i])
+                i += 1
+        if changed:
+            toks = out
+            for p in zip(toks, toks[1:]):
+                rr = rank_of.get(p)
+                if rr is not None and rr > r:
+                    heapq.heappush(heap, rr)
+    return len(toks)
+
+
+def bpe_tokens_py_fast(text: str, merges: list[tuple[str, str]],
+                       rank_of: dict[tuple[str, str], int],
+                       cache: dict[str, int]) -> int:
+    """Fast twin of :func:`bpe_tokens_py`: same ASCII-pinned normalize,
+    then per-WORD encode with a memo.  Valid because no merge symbol
+    contains a space (enforced by the vocab generator), so the fold can
+    never cross a word boundary and the doc count is the sum of word
+    counts — Zipf word reuse makes the cache hit rate ~1 at corpus
+    scale, turning O(rules x doc_len) into O(words) per doc."""
+    import re as _re
+
+    norm = _re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" \t\n\x0b\f\r").lower())
+    if not norm:
+        return 0
+    total = 0
+    for w in norm.split(" "):
+        n = cache.get(w)
+        if n is None:
+            n = _encode_word_ntok(w, merges, rank_of)
+            if len(cache) > 2_000_000:  # bound executor memory on adversarial vocab
+                cache.clear()
+            cache[w] = n
+        total += n
+    return total
+
+
+def token_count_bpe_arrow(col: Column, merges: list[tuple[str, str]] | None = None) -> Column:
+    """Arrow-vectorized BPE token count for big vocabularies — the
+    production path for tables where ``token_count_bpe``'s O(rules)
+    sequential replace passes are too slow (ref tiktoken encode,
+    extractContent.py:120-125).  Exactly fold-equivalent to
+    :func:`token_count_bpe` / :func:`bpe_tokens_py` (property-tested);
+    the per-Python-worker word cache persists across Arrow batches for
+    the lifetime of the task."""
+    from pyspark.sql.functions import pandas_udf
+
+    if merges is None:
+        from .bpe_vocab import BPE_MERGES_1K
+
+        merges = BPE_MERGES_1K
+    rank_of = {p: i for i, p in enumerate(merges)}
+    # closure-held memo: each Python worker deserializes its own copy
+    # once and keeps it across Arrow batches for the task's lifetime
+    cache: dict[str, int] = {}
+
+    @pandas_udf("long")
+    def _count(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None if t is None else bpe_tokens_py_fast(t, merges, rank_of, cache)
+                for t in s
+            ],
+            dtype="Int64",
+        )
+
+    return _count(col)
+
+
 def token_count_proxy(col: Column) -> Column:
     """length/4 — the classic planning proxy (ceil)."""
     return F.ceil(F.length(col) / F.lit(4.0)).cast("int")

@@ -1011,18 +1011,46 @@ SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 1
 """
 
-# vendored-BPE token count: the merge chain is generated from the SAME
-# rank-ordered table the Spark side folds (functions/tokens.BPE_MERGES),
-# as nested left-to-right replace() calls — all three engines (Java,
-# DuckDB, Python) agree on non-overlapping left-to-right replace order.
+# Vendored-BPE token counts.  Both merge tables (the 66-rule
+# functions/tokens.BPE_MERGES and the 1200-rule learned
+# functions/bpe_vocab.BPE_MERGES_1K) fold per DISTINCT WORD, not per
+# document: no merge symbol contains a space, so the rank-ordered
+# left-to-right replace fold never crosses a word boundary and a doc's
+# count is the sum of its word counts — the same decomposition
+# token_count_bpe_arrow's word cache exploits.  The fold is staged CTEs
+# of <=60 nested replace() calls each (flat parser depth); all three
+# engines (Java, DuckDB, Python) agree on non-overlapping left-to-right
+# replace order.  Folding full delimited doc strings instead measures
+# 139 s (1200 rules) / 14 s (66 rules) on sf0.01 vs <1 s this way.
+from ..functions.bpe_vocab import BPE_MERGES_1K as _M1K
 from ..functions.tokens import BPE_MERGES as _BPE_MERGES
 
 _BD = "\x01"
-_bpe_chain = "regexp_replace(norm, '(.)', '" + _BD + "\\1" + _BD + "', 'g')"
-for _a, _b in _BPE_MERGES:
-    _bpe_chain = (
-        f"replace({_bpe_chain}, '{_BD}{_a}{_BD}{_BD}{_b}{_BD}', '{_BD}{_a}{_b}{_BD}')"
-    )
+
+
+def _bpe_word_ctes(merges, prefix: str, chunk: int = 60) -> tuple[str, str]:
+    """(cte_sql, final_cte_name) folding the rule table over the
+    distinct-word CTE ``uw(w, s)``'s delimited symbol column s."""
+
+    def q(t: str) -> str:
+        return t.replace("'", "''")
+
+    ctes, prev = [], "uw"
+    for gi in range(0, len(merges), chunk):
+        expr = "s"
+        for a, b in merges[gi : gi + chunk]:
+            expr = (
+                f"replace({expr}, '{_BD}{q(a)}{_BD}{_BD}{q(b)}{_BD}',"
+                f" '{_BD}{q(a + b)}{_BD}')"
+            )
+        name = f"{prefix}{gi // chunk}"
+        ctes.append(f"{name} AS (SELECT w, {expr} AS s FROM {prev})")
+        prev = name
+    return ",\n".join(ctes), prev
+
+
+_g_ctes, _g_last = _bpe_word_ctes(_M1K, "g")
+_h_ctes, _h_last = _bpe_word_ctes(_BPE_MERGES, "h")
 
 ORACLES["token_count_bpe"] = f"""
 WITH n AS (
@@ -1030,13 +1058,33 @@ WITH n AS (
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
 ),
-m AS (SELECT doc_id, norm, {_bpe_chain} AS s FROM n)
-SELECT doc_id,
-       ((length(s) - length(replace(s, '{_BD}', ''))) // 2
-        - (length(norm) - length(replace(norm, ' ', ''))))::BIGINT AS n_bpe,
+words AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n
+),
+uw AS (
+  SELECT w, regexp_replace(w, '(.)', '{_BD}\\1{_BD}', 'g') AS s
+  FROM (SELECT DISTINCT w FROM words WHERE w <> '')
+),
+{_g_ctes},
+{_h_ctes},
+wtok AS (
+  SELECT g.w,
+         ((length(g.s) - length(replace(g.s, '{_BD}', ''))) // 2)::BIGINT AS ntok_1k,
+         ((length(h.s) - length(replace(h.s, '{_BD}', ''))) // 2)::BIGINT AS ntok_66
+  FROM {_g_last} g JOIN {_h_last} h ON g.w = h.w
+),
+c AS (
+  SELECT words.doc_id,
+         sum(wtok.ntok_1k) AS n_1k, sum(wtok.ntok_66) AS n_66
+  FROM words JOIN wtok ON words.w = wtok.w
+  GROUP BY words.doc_id
+)
+SELECT n.doc_id,
+       COALESCE(c.n_66, 0)::BIGINT AS n_bpe,
+       COALESCE(c.n_1k, 0)::BIGINT AS n_bpe_1k,
        (CASE WHEN trim(norm) = '' THEN 0
              ELSE len(string_split_regex(trim(norm), '\\s+')) END)::BIGINT AS n_ws
-FROM m
+FROM n LEFT JOIN c ON n.doc_id = c.doc_id
 """
 
 # round 4: raw-HTML DOM tokenizer round trip. The oracle never sees

@@ -1120,12 +1120,17 @@ def q_dedup_simhash_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: REAL byte-pair encoding token count with the vendored merge
-    table (functions/tokens.py BPE_MERGES; ref tiktoken at
-    extractContent.py:120-125) alongside the whitespace count."""
+    tables (ref tiktoken at extractContent.py:120-125) alongside the
+    whitespace count.  ``n_bpe`` folds the 66-rule table JVM-side
+    (chained replace); ``n_bpe_1k`` encodes against the LEARNED
+    1200-rule vocab (functions/bpe_vocab.py) through the Arrow
+    word-cache path — the production-size encode, oracle-gated against
+    a DuckDB staged-replace fold of the same table."""
     d = _tp(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         tok_fn.token_count_bpe(F.col("text")).alias("n_bpe"),
+        tok_fn.token_count_bpe_arrow(F.col("text")).alias("n_bpe_1k"),
         tok_fn.token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
     )
 
