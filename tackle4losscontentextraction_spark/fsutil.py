@@ -54,3 +54,36 @@ def delete_dir(spark: SparkSession, path: str) -> bool:
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, p = _fs_and_path(spark, path)
     fs.mkdirs(p)
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Create (overwrite) a small text file — manifest-sized payloads
+    only; goes through FSDataOutputStream so it works on any scheme."""
+    fs, p = _fs_and_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, p = _fs_and_path(spark, path)
+    stream = fs.open(p)
+    try:
+        jvm = spark._jvm
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomic rename (no overwrite: returns False if dst exists on
+    HDFS/file:) — the commit primitive of the snapshot publish."""
+    fs, p_src = _fs_and_path(spark, src)
+    _, p_dst = _fs_and_path(spark, dst)
+    if fs.exists(p_dst):
+        return False
+    return bool(fs.rename(p_src, p_dst))

@@ -29,10 +29,12 @@ Scale design (the part that must survive 100 TB):
   AQE can skew-split — still a single wide op.
 - The storage merge never rewrites the whole table: touched buckets are
   discovered from the source keys (a collected DISTINCT over buckets —
-  O(n_buckets), bounded), and only those bucket directories are read,
-  merged and atomically replaced (dynamic partition overwrite). At
-  thousands of buckets this is the same I/O profile as Iceberg COW:
-  rewrite bytes proportional to touched partitions, not table size.
+  O(n_buckets), bounded), only those buckets are read and merged, and
+  the result commits through a SINGLE atomic manifest publish (the
+  snapshot layer below) — Iceberg's snapshot swap, rebuilt on rename.
+  At thousands of buckets this is the same I/O profile as Iceberg COW:
+  rewrite bytes proportional to touched partitions, not table size,
+  and a kill at ANY point leaves the previous snapshot fully readable.
 """
 
 from __future__ import annotations
@@ -97,6 +99,102 @@ def update_columns(
     return joined.select(*out_cols)
 
 
+# ---------------------------------------------------------------------------
+# snapshot-atomic storage layer
+# ---------------------------------------------------------------------------
+#
+# Layout (the from-scratch rendition of Iceberg's snapshot mechanism):
+#
+#   table_dir/data/snap-<N>/bucket=<i>/part-*.parquet
+#       data files written BY snapshot N (touched buckets only — COW)
+#   table_dir/metadata/snap-<N>.json
+#       manifest: for every live bucket, WHICH snapshot's data dir
+#       serves it, plus parent pointer and audit counts
+#
+# Commit protocol (write-audit-publish):
+#   1. write the merged touched-bucket data under data/snap-<N>/ —
+#      invisible to readers (no manifest references it yet);
+#   2. audit (row counts via the Observation API — no re-read);
+#   3. publish: write metadata/.tmp-snap-<N>.json, then RENAME it to
+#      metadata/snap-<N>.json.  Rename-without-overwrite is the one
+#      atomic primitive on HDFS/file:, so the table flips from
+#      snapshot N-1 to N in a single metadata operation across ALL
+#      buckets at once — a kill anywhere before the rename leaves
+#      snapshot N-1 fully readable (orphan data dirs are ignored by
+#      readers and reclaimed by the next writer), and a concurrent
+#      writer that lost the race gets rename()==False -> OCC conflict.
+#
+# Readers (:func:`read_table`) resolve the CURRENT snapshot by listing
+# metadata/snap-*.json and taking the max id — snapshot-id allocation
+# is monotonically increasing, so "max published" IS the committed
+# tip; passing ``snapshot=`` reads any retained older manifest (time
+# travel).  :func:`expire_snapshots` drops history.
+
+
+def _manifest_path(table_dir: str, snap_id: int) -> str:
+    return f"{table_dir}/metadata/snap-{snap_id}.json"
+
+
+def snapshots(spark: SparkSession, table_dir: str) -> list[int]:
+    """Published snapshot ids, ascending ([] for a missing table)."""
+    ids = []
+    for name in fsutil.list_names(spark, f"{table_dir}/metadata"):
+        if name.startswith("snap-") and name.endswith(".json"):
+            try:
+                ids.append(int(name[5:-5]))
+            except ValueError:
+                pass
+    return sorted(ids)
+
+
+def current_snapshot_id(spark: SparkSession, table_dir: str) -> int | None:
+    ids = snapshots(spark, table_dir)
+    return ids[-1] if ids else None
+
+
+def _read_manifest(spark: SparkSession, table_dir: str, snap_id: int) -> dict:
+    import json
+
+    path = _manifest_path(table_dir, snap_id)
+    if not fsutil.exists(spark, path):
+        raise FileNotFoundError(
+            f"snapshot {snap_id} is not published (or expired) in {table_dir}"
+        )
+    return json.loads(fsutil.read_text(spark, path))
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, snapshot: int | None = None
+) -> DataFrame:
+    """Read the table at the current (or a time-travel) snapshot.
+
+    Buckets are grouped by the snapshot whose data dir serves them and
+    each group is read with its own basePath (keeps the ``bucket``
+    partition column + partition pruning); the groups union.  Group
+    count = distinct serving snapshots <= retained history depth, so
+    the plan stays small; :func:`expire_snapshots` (or any full
+    rewrite) collapses it back to one.
+    """
+    snap_id = snapshot if snapshot is not None else current_snapshot_id(spark, table_dir)
+    if snap_id is None:
+        raise FileNotFoundError(f"no published snapshot in {table_dir}")
+    man = _read_manifest(spark, table_dir, snap_id)
+    by_serving: dict[int, list[int]] = {}
+    for b, serving in man["buckets"].items():
+        by_serving.setdefault(int(serving), []).append(int(b))
+    parts = []
+    for serving, bs in sorted(by_serving.items()):
+        base = f"{table_dir}/data/snap-{serving}"
+        parts.append(
+            spark.read.option("basePath", base)
+            .parquet(*[f"{base}/bucket={b}" for b in sorted(bs)])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def merge_write(
     spark: SparkSession,
     table_dir: str,
@@ -105,43 +203,57 @@ def merge_write(
     n_buckets: int = 16,
     mode: str = "upsert",
 ) -> dict:
-    """Copy-on-write MERGE into a hash-bucketed parquet table.
+    """Snapshot-atomic copy-on-write MERGE into a hash-bucketed parquet
+    table (bucket = pmod(xxhash64(key), n_buckets)); see the layout /
+    commit-protocol comment above.
 
-    Layout: ``table_dir/bucket=<i>/part-*.parquet`` with bucket =
-    pmod(xxhash64(key), n_buckets) — the parquet stand-in for an
-    Iceberg bucket-partitioned table (see module docstring for why no
-    real Iceberg here).
-
-    Steps (Iceberg COW equivalence):
+    Steps:
       1. bucket the source; collect the DISTINCT touched bucket ids
          (bounded by n_buckets — the only driver-side state);
-      2. read ONLY those bucket directories of the target;
+      2. read ONLY those buckets of the current snapshot;
       3. dataflow-merge (:func:`upsert` / :func:`update_columns`);
-      4. overwrite ONLY those bucket directories in one job (dynamic
-         partition overwrite = the atomic snapshot swap).
+      4. write the merged buckets under data/snap-<N>/, then publish
+         manifest N by atomic rename — one metadata op commits every
+         touched bucket simultaneously.
 
-    Returns {"touched_buckets": [...], "rows_written": n}.
+    Returns {"snapshot": N, "touched_buckets": [...], "rows_written": n}.
     """
+    import json
+
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     src = source.withColumn("bucket", bucket_of)
     touched = sorted(
         r.bucket for r in src.select("bucket").distinct().collect()
     )
+    cur_id = current_snapshot_id(spark, table_dir)
     if not touched:
-        return {"touched_buckets": [], "rows_written": 0}
+        return {"snapshot": cur_id, "touched_buckets": [], "rows_written": 0}
 
-    # Hadoop FileSystem API (fsutil) — scheme-agnostic: the same
-    # metadata probes work on file:, hdfs: and s3a: table locations
-    existing = [
-        b for b in touched
-        if fsutil.is_dir(spark, f"{table_dir}/bucket={b}")
-    ]
+    cur_man = _read_manifest(spark, table_dir, cur_id) if cur_id is not None else None
+    new_id = (cur_id + 1) if cur_id is not None else 0
+    data_dir = f"{table_dir}/data/snap-{new_id}"
+    # a crashed writer may have left an unpublished data dir under the
+    # id we are about to use — it was never readable; reclaim it
+    fsutil.delete_dir(spark, data_dir)
+    fsutil.delete_dir(spark, f"{table_dir}/metadata/.tmp-snap-{new_id}.json")
+
+    existing = (
+        [b for b in touched if str(b) in cur_man["buckets"]] if cur_man else []
+    )
     if existing:
-        tgt = (
-            spark.read
-            .option("basePath", table_dir)
-            .parquet(*[f"{table_dir}/bucket={b}" for b in existing])
-        )
+        by_serving: dict[int, list[int]] = {}
+        for b in existing:
+            by_serving.setdefault(int(cur_man["buckets"][str(b)]), []).append(b)
+        parts = []
+        for serving, bs in sorted(by_serving.items()):
+            base = f"{table_dir}/data/snap-{serving}"
+            parts.append(
+                spark.read.option("basePath", base)
+                .parquet(*[f"{base}/bucket={b}" for b in sorted(bs)])
+            )
+        tgt = parts[0]
+        for p in parts[1:]:
+            tgt = tgt.unionByName(p)
         if mode == "upsert":
             merged = upsert(tgt, src.select(*tgt.columns), key)
         elif mode == "update":
@@ -152,18 +264,62 @@ def merge_write(
             raise ValueError(f"unknown merge mode: {mode}")
     else:
         if mode == "update":
-            return {"touched_buckets": [], "rows_written": 0}
+            return {"snapshot": cur_id, "touched_buckets": [], "rows_written": 0}
         merged = src
 
     merged = merged.withColumn("bucket", bucket_of)
     from pyspark.sql import Observation
 
-    obs = Observation("merge_write")
+    obs = Observation(f"merge_write_snap{new_id}")
     merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(table_dir)
-    )
-    return {"touched_buckets": touched, "rows_written": obs.get["rows"]}
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+    rows_written = obs.get["rows"]
+
+    buckets = dict(cur_man["buckets"]) if cur_man else {}
+    for b in touched:
+        buckets[str(b)] = new_id
+    manifest = {
+        "snapshot_id": new_id,
+        "parent": cur_id,
+        "n_buckets": n_buckets,
+        "key": key,
+        "buckets": buckets,
+        "touched_buckets": touched,
+        "rows_written": rows_written,
+    }
+    fsutil.mkdirs(spark, f"{table_dir}/metadata")
+    tmp = f"{table_dir}/metadata/.tmp-snap-{new_id}.json"
+    fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
+    if not fsutil.rename(spark, tmp, _manifest_path(table_dir, new_id)):
+        # another writer published this id first: clean our staging and
+        # surface the optimistic-concurrency conflict
+        fsutil.delete_dir(spark, tmp)
+        fsutil.delete_dir(spark, data_dir)
+        raise RuntimeError(
+            f"snapshot {new_id} was published concurrently in {table_dir}; retry"
+        )
+    return {"snapshot": new_id, "touched_buckets": touched, "rows_written": rows_written}
+
+
+def expire_snapshots(
+    spark: SparkSession, table_dir: str, keep_last: int = 2
+) -> dict:
+    """Drop manifests older than the newest ``keep_last`` and any data
+    dir no kept manifest references (Iceberg expire_snapshots).  Data
+    dirs referenced by a kept manifest survive even when their own
+    manifest expires — time travel shrinks, current reads don't."""
+    ids = snapshots(spark, table_dir)
+    keep = ids[-keep_last:] if keep_last > 0 else []
+    live_data = set()
+    for sid in keep:
+        man = _read_manifest(spark, table_dir, sid)
+        live_data.update(int(v) for v in man["buckets"].values())
+    dropped = []
+    for sid in ids:
+        if sid in keep:
+            continue
+        fsutil.delete_dir(spark, _manifest_path(table_dir, sid))
+        if sid not in live_data:
+            fsutil.delete_dir(spark, f"{table_dir}/data/snap-{sid}")
+        dropped.append(sid)
+    return {"dropped": dropped, "kept": keep}

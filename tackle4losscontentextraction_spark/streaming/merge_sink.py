@@ -10,9 +10,10 @@ micro-batch becomes one bucket-pruned MERGE, so
   profile as an Iceberg streaming MERGE sink);
 - re-delivered micro-batches (restart replay) are idempotent — upsert
   of the same rows is a no-op (tests/test_merge.py property);
-- exactly-once = file-source checkpoint + idempotent merge. The data
-  commit is the dynamic-partition overwrite; the checkpoint advance is
-  the publish (write-audit-publish, streaming edition).
+- exactly-once = file-source checkpoint + idempotent merge. Each
+  micro-batch commits as ONE table snapshot (merge.py's atomic
+  manifest publish); a kill mid-batch leaves the previous snapshot
+  readable and the replayed batch recommits cleanly.
 
 At 10^12-doc scale the bucket count is sized in the thousands; each
 micro-batch touches only the buckets of its (typically recent, skewed)

@@ -47,35 +47,42 @@ def test_merge_write_bucket_pruning_and_resume(spark, tmp_path):
         F.col("id").alias("doc_id"),
         F.concat(F.lit("text-"), F.col("id")).alias("text"),
     )
-    # seed the table (every bucket written once)
+    # seed the table (every bucket written once) -> snapshot 0
     n = merge_ops.merge_write(spark, table, base, n_buckets=8)
     assert n["rows_written"] == 200 and len(n["touched_buckets"]) == 8
+    assert n["snapshot"] == 0
 
-    # record per-bucket file sets, then merge a single-bucket source
-    def files(b):
-        d = os.path.join(table, f"bucket={b}")
+    # record snapshot-0 file sets, then merge a single-bucket source
+    def files(snap, b):
+        d = os.path.join(table, "data", f"snap-{snap}", f"bucket={b}")
+        if not os.path.isdir(d):
+            return []
         return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
 
-    before = {b: files(b) for b in range(8)}
+    before = {b: files(0, b) for b in range(8)}
     one = spark.createDataFrame(
         [(7, "UPDATED"), (100007, "BRAND NEW")], "doc_id bigint, text string"
     )
     res = merge_ops.merge_write(spark, table, one, n_buckets=8)
     touched = set(res["touched_buckets"])
-    assert 1 <= len(touched) <= 2
+    assert 1 <= len(touched) <= 2 and res["snapshot"] == 1
+    # COW: snapshot-0 data files are immutable, snapshot 1 wrote ONLY
+    # the touched buckets
     for b in range(8):
-        if b not in touched:
-            assert files(b) == before[b], "untouched bucket must not be rewritten"
+        assert files(0, b) == before[b], "prior snapshot files are immutable"
+        assert bool(files(1, b)) == (b in touched)
 
-    final = spark.read.parquet(table)
+    final = merge_ops.read_table(spark, table)
     assert final.count() == 201
     got = {r.doc_id: r.text for r in final.where(F.col("doc_id").isin(7, 100007)).collect()}
     assert got == {7: "UPDATED", 100007: "BRAND NEW"}
+    # the bucket partition column survives the manifest-grouped read
+    assert "bucket" in final.columns
 
     # idempotency: re-applying the same merge changes nothing
     res2 = merge_ops.merge_write(spark, table, one, n_buckets=8)
     assert res2["touched_buckets"] == res["touched_buckets"]
-    assert spark.read.parquet(table).count() == 201
+    assert merge_ops.read_table(spark, table).count() == 201
 
 
 def test_merge_write_update_mode(spark, tmp_path):
@@ -86,10 +93,86 @@ def test_merge_write_update_mode(spark, tmp_path):
     merge_ops.merge_write(spark, table, base, n_buckets=4)
     upd = spark.createDataFrame([(10, "de")], "doc_id bigint, lang string")
     merge_ops.merge_write(spark, table, upd, n_buckets=4, mode="update")
-    rows = {r.doc_id: r for r in spark.read.parquet(table).collect()}
+    rows = {r.doc_id: r for r in merge_ops.read_table(spark, table).collect()}
     assert len(rows) == 50
     assert rows[10].lang == "de" and rows[10].text == "t"
     assert rows[11].lang == "en"
+
+
+def test_merge_write_kill_before_publish_is_invisible(spark, tmp_path, monkeypatch):
+    """A crash AFTER the multi-bucket data write but BEFORE the
+    manifest publish must leave the previous snapshot fully readable —
+    no mixed-snapshot state — and the next merge must recover."""
+    table = str(tmp_path / "atomic_table")
+    base = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v0-"), F.col("id")).alias("text"),
+    )
+    merge_ops.merge_write(spark, table, base, n_buckets=8)
+
+    # a source touching EVERY bucket — the worst case for a
+    # per-partition-atomic scheme (old dynamic-overwrite commit was
+    # atomic per bucket, not across them)
+    upd = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("v1-"), F.col("id")).alias("text"),
+    )
+
+    real_write_text = merge_ops.fsutil.write_text
+
+    def die_at_publish(spark_, path, text):
+        raise RuntimeError("simulated kill before manifest publish")
+
+    monkeypatch.setattr(merge_ops.fsutil, "write_text", die_at_publish)
+    try:
+        merge_ops.merge_write(spark, table, upd, n_buckets=8)
+        raise AssertionError("expected the simulated kill")
+    except RuntimeError as e:
+        assert "simulated kill" in str(e)
+    monkeypatch.setattr(merge_ops.fsutil, "write_text", real_write_text)
+
+    # the orphan snap-1 data dir exists on disk but readers never see it
+    assert os.path.isdir(os.path.join(table, "data", "snap-1"))
+    assert merge_ops.current_snapshot_id(spark, table) == 0
+    rows = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert len(rows) == 200
+    assert all(v.startswith("v0-") for v in rows.values()), "no mixed snapshot"
+
+    # recovery: the retry reclaims the orphan id and commits cleanly
+    res = merge_ops.merge_write(spark, table, upd, n_buckets=8)
+    assert res["snapshot"] == 1
+    rows = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert all(v.startswith("v1-") for v in rows.values())
+
+
+def test_merge_write_time_travel_and_expire(spark, tmp_path):
+    table = str(tmp_path / "tt_table")
+    v0 = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"), F.lit("v0").alias("text"))
+    merge_ops.merge_write(spark, table, v0, n_buckets=4)
+    upd = spark.createDataFrame([(5, "v1")], "doc_id bigint, text string")
+    merge_ops.merge_write(spark, table, upd, n_buckets=4)
+    upd2 = spark.createDataFrame([(6, "v2")], "doc_id bigint, text string")
+    merge_ops.merge_write(spark, table, upd2, n_buckets=4)
+
+    assert merge_ops.snapshots(spark, table) == [0, 1, 2]
+    # time travel: snapshot 1 sees v1 but not v2; snapshot 0 is pristine
+    t1 = {r.doc_id: r.text for r in merge_ops.read_table(spark, table, snapshot=1).collect()}
+    assert t1[5] == "v1" and t1[6] == "v0"
+    t0 = {r.doc_id: r.text for r in merge_ops.read_table(spark, table, snapshot=0).collect()}
+    assert t0[5] == "v0" and len(t0) == 60
+
+    # expire: keep the last 2 -> snapshot 0's manifest goes away, but
+    # its DATA stays (still serves untouched buckets of snaps 1/2)
+    out = merge_ops.expire_snapshots(spark, table, keep_last=2)
+    assert out["dropped"] == [0] and out["kept"] == [1, 2]
+    cur = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert len(cur) == 60 and cur[5] == "v1" and cur[6] == "v2"
+    try:
+        merge_ops.read_table(spark, table, snapshot=0)
+        raise AssertionError("expired snapshot must not be readable")
+    except FileNotFoundError:
+        pass
 
 
 # ---------------------------------------------------------------------------
