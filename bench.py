@@ -15,6 +15,12 @@ N -> 4N criterion. Results accumulate into BENCH/scaling.json.
 small leg) and record its minima + same-window paired sample. Sized to
 fit inside a single quiet window on this shared box (~3-6 min), it is
 the unit the background harvester schedules when load drops.
+
+Round-4 evidence modes (each writes its own BENCH/*.json):
+`--bpe`        1200-rule BPE encode vs the regex counter (task 4)
+`--recall`     ANN recall@k + speedup: IVF nprobe sweep, sign-LSH (task 6)
+`--skew`       salted vs plain agg/join on a Zipf domain corpus (task 7)
+`--streaming`  micro-batch throughput + dedup state plateau (task 8)
 """
 
 from __future__ import annotations
@@ -263,6 +269,454 @@ def run_one_scale(cores: int, n_docs: int, reps: int = 0, impl: str = "catalyst"
             "load_1min": _load1()}
 
 
+def run_streaming_bench(n_docs: int = 200_000, n_files: int = 24) -> None:
+    """Streaming bench (verdict r3 task 8): sustained micro-batch
+    throughput of the streaming extract over >= 20 micro-batches, and
+    the dedup stream's state-store plateau under its watermark.
+
+    Input: the synth corpus written as ``n_files`` parquet files with
+    event time advancing file-by-file (1 min per file). Two runs, one
+    file per trigger:
+
+      - extract: stateless streaming extraction, counted in
+        foreachBatch (no sink I/O in the measurement). Sustained
+        docs/s = total rows / sum of batch wall times.
+      - dedup:  dropDuplicatesWithinWatermark on the content digest
+        (10-min delay) with ~50% duplicate rows; the state-operator
+        row count must stop growing once the watermark starts
+        evicting (~10 files in) — recorded per batch.
+
+    Writes BENCH/streaming.json.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.session import get_spark
+    from tackle4losscontentextraction_spark.sources import synth
+    from tackle4losscontentextraction_spark.streaming import dedup_stream as ds
+    from tackle4losscontentextraction_spark.streaming import stream_extract as se
+
+    spark = get_spark(app_name="t4l-stream-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="t4l_stream_bench_")
+    try:
+        docs = synth.synth_docs(spark, n_docs, partitions=n_files)
+        # event time advances ~1 min per file: availableNow lists files
+        # in path order = range-partition order
+        docs = docs.withColumn(
+            "ingest_ts",
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("doc_id") * n_files / n_docs).cast("int") * 60
+            ),
+        )
+        (docs.repartitionByRange(n_files, "doc_id")
+             .write.mode("overwrite").parquet(f"{work}/in"))
+
+        # --- stateless extract throughput ---
+        stream = se.read_docs_stream(spark, f"{work}/in", max_files=1)
+        extracted = se.extract_stream(stream)
+
+        def count_batch(batch_df, batch_id):
+            batch_df.agg(F.count(F.lit(1)), F.sum("content_chars")).collect()
+
+        q = (extracted.writeStream.foreachBatch(count_batch)
+             .option("checkpointLocation", f"{work}/ckpt_extract")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        prog = [p for p in (q.recentProgress or []) if p.get("numInputRows", 0) > 0]
+        batch_secs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in prog]
+        rows = sum(p["numInputRows"] for p in prog)
+        extract_out = {
+            "n_microbatches": len(prog),
+            "rows": rows,
+            "sustained_docs_per_sec": round(rows / sum(batch_secs), 1) if batch_secs else None,
+            "p50_batch_sec": round(sorted(batch_secs)[len(batch_secs) // 2], 3) if batch_secs else None,
+        }
+
+        # --- stateful dedup state plateau ---
+        dup = spark.read.parquet(f"{work}/in").withColumn(
+            "text", F.concat_ws(" ", F.transform("spans", lambda s: s["text"]))
+        ).select("doc_id", "text", "ingest_ts")
+        # ~50% dup rate: every second doc collides on an earlier digest
+        dup = dup.withColumn(
+            "text",
+            F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0,
+                   F.concat(F.lit("shared-"), F.pmod(F.xxhash64("doc_id"), F.lit(n_docs // 4))))
+            .otherwise(F.col("text")),
+        )
+        dup.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(f"{work}/in_dedup")
+        stream2 = (spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
+                   .option("maxFilesPerTrigger", 1).parquet(f"{work}/in_dedup"))
+        deduped = ds.dedup_stream(stream2, delay="10 minutes")
+        q2 = (deduped.writeStream.foreachBatch(
+                lambda b, i: b.agg(F.count(F.lit(1))).collect())
+              .option("checkpointLocation", f"{work}/ckpt_dedup")
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(600)
+        prog2 = [p for p in (q2.recentProgress or []) if p.get("stateOperators")]
+        state_rows = [p["stateOperators"][0].get("numRowsTotal") for p in prog2]
+        half = len(state_rows) // 2
+        dedup_out = {
+            "n_microbatches": len(prog2),
+            "state_rows_per_batch": state_rows,
+            "state_peak": max(state_rows) if state_rows else None,
+            "state_final": state_rows[-1] if state_rows else None,
+            "plateaued": bool(state_rows) and max(state_rows[half:]) <= max(state_rows) * 1.05
+                         and state_rows[-1] < rows,
+        }
+        out = {"n_docs": n_docs, "n_files": n_files, "cpus": CPUS,
+               "load_1min": _load1(), "extract": extract_out, "dedup": dedup_out}
+        with open(os.path.join(REPO, "BENCH", "streaming.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_skew_bench(n_rows: int = 2_000_000) -> None:
+    """Skew-salting bench (verdict r3 task 7): show WHERE the committed
+    salting operators (operators/skew.py) win, and where they don't, on
+    a Zipf-skewed domain corpus (hot domain ~35% of rows, like the
+    espn.com share of the synthetic crawl corpus).
+
+    Three comparisons at local[CPUS], broadcast join disabled so the
+    shuffle path is actually exercised (a 10k-row dim would otherwise
+    broadcast and hide the skew):
+
+      - count by domain: plain groupBy vs salted_count. Expectation:
+        ~parity — partial (map-side) aggregation already collapses the
+        hot key before the shuffle; recorded to document that salting
+        is NOT for simple counts.
+      - join + agg by domain: plain sort-merge join feeding a same-key
+        aggregate, with AQE skew-join ON, OFF, and the salted
+        composition (with_salt + replicated dim + two-phase agg).
+        The agg's required distribution pins the hot key to one
+        reducer, which is exactly the case the skew.py docstring
+        claims AQE can't split — measured here.
+
+    Writes BENCH/skew.json with the crossover documented.
+    """
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.operators import skew as skew_ops
+    from tackle4losscontentextraction_spark.session import get_spark
+
+    spark = get_spark(app_name="t4l-skew", cores=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 64))
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    r = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(100))
+    domain = (
+        F.when(r < 35, F.lit("espn.com"))
+        .otherwise(F.concat(F.lit("d"), F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(10_000))))
+    )
+    big = (
+        spark.range(0, n_rows, 1, 4 * CPUS)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("domain", domain)
+        .withColumn("payload", F.pmod(F.col("doc_id"), F.lit(997)).cast("double"))
+        .cache()
+    )
+    big.count()
+    dim = (
+        spark.range(0, 10_000).select(
+            F.concat(F.lit("d"), F.col("id")).alias("domain"),
+            (F.col("id") % 13).cast("double").alias("score"))
+        .unionByName(spark.createDataFrame([("espn.com", 99.0)], "domain string, score double"))
+        .cache()
+    )
+    dim.count()
+
+    def timed(fn, reps=3):
+        best = 1e18
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    def force(df):
+        df.agg(F.count(F.lit(1)), F.sum(F.col(df.columns[-1]).cast("double"))).collect()
+
+    out: dict = {"n_rows": n_rows, "cpus": CPUS, "hot_share": 0.35,
+                 "n_domains": 10_001, "load_1min": _load1(), "cases": {}}
+
+    # 1) count by domain
+    out["cases"]["count_plain"] = timed(
+        lambda: force(big.groupBy("domain").agg(F.count("*").alias("n"))))
+    out["cases"]["count_salted"] = timed(
+        lambda: force(skew_ops.salted_count(big, "domain", row_key="doc_id")))
+
+    # 2) join + same-key agg
+    def plain():
+        j = big.join(dim, "domain")
+        force(j.groupBy("domain").agg(F.sum(F.col("payload") * F.col("score")).alias("s")))
+
+    def salted():
+        sb = skew_ops.with_salt(big, "doc_id", 16)
+        rep = dim.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(15)))) \
+                 .withColumn("_salt", F.col("_salt").cast("int"))
+        j = sb.join(rep, ["domain", "_salt"])
+        two = (
+            j.groupBy("domain", "_salt")
+            .agg(F.sum(F.col("payload") * F.col("score")).alias("ps"))
+            .groupBy("domain").agg(F.sum("ps").alias("s"))
+        )
+        force(two)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["cases"]["joinagg_plain_aqe_skewjoin"] = timed(plain)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    out["cases"]["joinagg_plain_no_skewjoin"] = timed(plain)
+    out["cases"]["joinagg_salted"] = timed(salted)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    out["cases"]["joinagg_salted_with_aqe"] = timed(salted)
+
+    c = out["cases"]
+    out["crossover"] = {
+        "count": "salting NOT useful (partial agg absorbs the hot key)"
+        if c["count_salted"] >= c["count_plain"] * 0.95
+        else "salting wins even for counts on this box",
+        "joinagg_salted_vs_plain": round(
+            c["joinagg_plain_no_skewjoin"] / c["joinagg_salted"], 2),
+        "joinagg_salted_vs_plain_aqe": round(
+            c["joinagg_plain_aqe_skewjoin"] / c["joinagg_salted"], 2),
+    }
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH", "skew.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def run_recall_bench(n_vectors: int = 100_000, dim: int = 32,
+                     n_queries: int = 100, k: int = 10) -> None:
+    """ANN quality bench (verdict r3 task 6): recall@k of the IVF probe
+    (nprobe sweep) and of sign-LSH bucketing vs the exact brute-force
+    baseline, plus their wall-clock speedups, on a >=100k-vector
+    deterministic clustered corpus.
+
+    Corpus: 64 ground-truth centers; vector i = center[i % 64] + noise,
+    both derived from xxhash64 (no RNG — replayable, same rule as the
+    rest of the repo). Writes BENCH/recall.json.
+    """
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.operators import similarity as sim
+    from tackle4losscontentextraction_spark.session import get_spark
+
+    n_centers, noise = 64, 0.35
+
+    spark = get_spark(app_name="t4l-recall", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def h01(*cols):
+        """xxhash64 -> uniform double in [-1, 1)."""
+        return (F.pmod(F.xxhash64(*cols), F.lit(20011)) / 10005.5) - 1.0
+
+    ids = spark.range(0, n_vectors, 1, 4 * CPUS).withColumnRenamed("id", "vec_id")
+    c = F.pmod(F.col("vec_id"), F.lit(n_centers))
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: h01(F.lit("ctr"), c * dim + j) + noise * h01(F.lit("nz"), F.col("vec_id") * dim + j),
+    )
+    vectors = ids.select("vec_id", emb.alias("embedding")).cache()
+    vectors.count()
+    queries = vectors.where(F.pmod(F.col("vec_id"), F.lit(n_vectors // n_queries)) == 7)
+
+    def timed(fn):
+        best, out = 1e18, None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_brute, truth_rows = timed(
+        lambda: sim.brute_force_topk(vectors, queries, k=k).collect())
+    truth: dict[int, set] = {}
+    for r in truth_rows:
+        truth.setdefault(r.qid, set()).add(r.neighbor)
+
+    def recall(rows) -> float:
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(r.qid, set()).add(r.neighbor)
+        per_q = [len(got.get(q, set()) & t) / len(t) for q, t in truth.items()]
+        return round(sum(per_q) / len(per_q), 4)
+
+    t_fit0 = time.perf_counter()
+    cents = sim.kmeans_fit(vectors, k=n_centers, iters=2)
+    cents.count()
+    t_fit = time.perf_counter() - t_fit0
+
+    ivf = {}
+    for nprobe in (1, 2, 4, 8):
+        t_ivf, rows = timed(
+            lambda np=nprobe: sim.ivf_topk(
+                vectors, queries, cents, k=k, nprobe=np).collect())
+        ivf[f"nprobe={nprobe}"] = {
+            "recall_at_k": recall(rows), "sec": round(t_ivf, 3),
+            "speedup_vs_brute": round(t_brute / t_ivf, 2),
+        }
+
+    # sign-LSH: 8-bit key over 8 fixed dims; candidates = same bucket
+    # (single shuffle). The cheap-and-cheerful end of the tradeoff.
+    bits = sum(
+        (F.when(F.get(F.col("embedding"), d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+         for j, d in enumerate(range(0, dim, dim // 8))),
+        F.lit(0),
+    )
+    def lsh_run():
+        bv = vectors.withColumn("bucket", bits)
+        bq = queries.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        ).withColumn(
+            "bucket",
+            sum((F.when(F.get(F.col("qe"), d) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                 for j, d in enumerate(range(0, dim, dim // 8))), F.lit(0)),
+        )
+        from tackle4losscontentextraction_spark.functions import vectors as vfn
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        return (
+            F.broadcast(bq).join(bv, "bucket")
+            .where(F.col("qid") != F.col("vec_id"))
+            .withColumn("cos_raw", vfn.dot(
+                vfn.l2_normalize(F.col("qe").cast("array<double>")),
+                vfn.l2_normalize(F.col("embedding").cast("array<double>"))))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", F.col("vec_id").alias("neighbor"))
+            .collect()
+        )
+    t_lsh, lsh_rows = timed(lsh_run)
+
+    out = {
+        "n_vectors": n_vectors, "dim": dim, "n_queries": len(truth), "k": k,
+        "cpus": CPUS, "load_1min": _load1(),
+        "brute_sec": round(t_brute, 3),
+        "ivf": ivf,
+        "ivf_fit_sec_once": round(t_fit, 3),
+        "ivf_nlist": n_centers,
+        "lsh_8bit": {
+            "recall_at_k": recall(lsh_rows), "sec": round(t_lsh, 3),
+            "speedup_vs_brute": round(t_brute / t_lsh, 2),
+        },
+        "note": "recall is vs exact cosine top-k on the same corpus; "
+                "ivf fit cost is offline/amortized and reported separately",
+    }
+    spark.stop()
+    with open(os.path.join(REPO, "BENCH", "recall.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def run_bpe_bench(n_docs: int = 600_000) -> None:
+    """Token-counting bench (verdict r3 task 4): the production-size
+    1200-rule BPE encode must land within ~2x of the regex
+    pre-tokenizer counter.  Times, min over 3 reps at local[CPUS]:
+
+      - regex:        token_count_bpe_regex (one regexp_count pass)
+      - bpe66_jvm:    66-rule chained-replace Catalyst fold
+      - bpe1k_arrow:  1200-rule Arrow word-cache encode (production)
+      - bpe1k_jvm_30k: 1200-rule Catalyst HOF fold on a 30k slice —
+        the O(rules x len) per-row cost that motivates the Arrow path
+
+    Two corpora: the bench synth corpus (Zipf word reuse — the
+    realistic case for the word memo) and a suffixed variant where
+    every word carries doc_id%100000 (~100x the distinct-word count, a
+    cache-miss-heavy stress bound).  Writes BENCH/bpe_tokens.json.
+    """
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.functions import tokens as tok
+    from tackle4losscontentextraction_spark.functions.bpe_vocab import BPE_MERGES_1K
+    from tackle4losscontentextraction_spark.session import get_spark
+    from tackle4losscontentextraction_spark.sources import synth
+
+    spark = get_spark(app_name="t4l-bpe-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = synth.synth_documents(spark, n_docs, partitions=4 * CPUS)
+    zipf = base.select("doc_id", "text").cache()
+    stress = base.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("x"), F.pmod(F.col("doc_id"), F.lit(100_000))),
+            ),
+            " ",
+        ).alias("text"),
+    ).cache()
+    n_words = zipf.select(F.sum(F.size(F.split("text", " "))).alias("n")).collect()[0].n
+    for df in (zipf, stress):
+        df.count()
+
+    def timed(df, expr) -> float:
+        best = 1e18
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.select(expr.alias("n")).agg(F.sum("n")).collect()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    out: dict = {"n_docs": n_docs, "n_words_zipf": int(n_words), "cpus": CPUS,
+                 "vocab_size": len(BPE_MERGES_1K), "corpora": {}}
+    for cname, df in (("zipf", zipf), ("stress_suffixed", stress)):
+        t_regex = timed(df, tok.token_count_bpe_regex(F.col("text")))
+        t_66 = timed(df, tok.token_count_bpe(F.col("text")))
+        t_1k = timed(df, tok.token_count_bpe_arrow(F.col("text")))
+        out["corpora"][cname] = {
+            "regex_sec": t_regex,
+            "bpe66_jvm_sec": t_66,
+            "bpe1k_arrow_sec": t_1k,
+            "bpe1k_vs_regex": round(t_1k / t_regex, 2),
+            "load_1min": _load1(),
+        }
+    # the motivating counterfactual, on a slice (O(rules x len)/row)
+    slice30 = zipf.limit(30_000).cache()
+    slice30.count()
+    t_hof = timed(slice30, tok.token_count_bpe_hof(F.col("text"), BPE_MERGES_1K))
+    out["bpe1k_jvm_30k_sec"] = t_hof
+    out["bpe1k_jvm_projected_600k_sec"] = round(t_hof * n_docs / 30_000, 1)
+    spark.stop()
+
+    path = os.path.join(REPO, "BENCH", "bpe_tokens.json")
+    # min-merge across invocations (same shared-box protocol as the
+    # headline bench) so quiet-window numbers accumulate
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        if prior.get("vocab_size") == out["vocab_size"] and prior.get("n_docs") == n_docs:
+            for cname, cur in out["corpora"].items():
+                old = prior.get("corpora", {}).get(cname)
+                if old:
+                    for k in ("regex_sec", "bpe66_jvm_sec", "bpe1k_arrow_sec"):
+                        if old.get(k, 1e18) < cur[k]:
+                            cur[k] = old[k]
+                    cur["bpe1k_vs_regex"] = round(
+                        cur["bpe1k_arrow_sec"] / cur["regex_sec"], 2)
+            if prior.get("bpe1k_jvm_30k_sec", 1e18) < out["bpe1k_jvm_30k_sec"]:
+                out["bpe1k_jvm_30k_sec"] = prior["bpe1k_jvm_30k_sec"]
+                out["bpe1k_jvm_projected_600k_sec"] = prior.get(
+                    "bpe1k_jvm_projected_600k_sec",
+                    round(out["bpe1k_jvm_30k_sec"] * n_docs / 30_000, 1))
+    except (OSError, json.JSONDecodeError):
+        pass
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
 # The scaling pairs: (name, impl, small_cores, large_cores, n_docs).
 # Corpus sizes are chosen so the LARGE leg runs >=18 s on a quiet box
 # (measured quiet rate ~4500-5400 docs/s/core): at r3's 5 s legs the
@@ -349,12 +803,25 @@ def run_scaling(rounds: int = 1, only: str | None = None) -> None:
     for _ in range(rounds):
         fresh: dict[tuple[str, int, int], dict] = {}
         for impl, cores, n in plan:
-            r = subprocess.run(
-                [sys.executable, __file__, "--one-scale", str(cores), str(n), impl],
-                capture_output=True, text=True, cwd=REPO, timeout=1800,
-            )
-            line = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            res = json.loads(line)
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--one-scale", str(cores), str(n), impl],
+                    capture_output=True, text=True, cwd=REPO, timeout=1800,
+                )
+                lines = [ln for ln in r.stdout.strip().splitlines() if ln.startswith("{")]
+                res = json.loads(lines[-1])
+            except (subprocess.TimeoutExpired, IndexError, json.JSONDecodeError) as e:
+                # a leg that died (OOM'd executor, co-tenant kill, timeout)
+                # must not abort the whole pass — skip it; the
+                # cross-invocation min-merge supplies the missing sample
+                err = ""
+                stderr = getattr(e, "stderr", None) or (
+                    r.stderr if isinstance(e, (IndexError, json.JSONDecodeError)) else None)
+                if stderr:
+                    err = " | stderr: " + " ".join(str(stderr)[-400:].split())
+                print(f"[scaling] leg {impl} cores={cores} n={n} failed: "
+                      f"{type(e).__name__}{err}", file=sys.stderr)
+                continue
             key = (impl, cores, n)
             fresh[key] = res
             if key not in best or res["sec"] < best[key]["sec"]:
@@ -433,5 +900,13 @@ if __name__ == "__main__":
         run_scaling(rounds=int(sys.argv[2]) if len(sys.argv) > 2 else 2)
     elif len(sys.argv) > 1 and sys.argv[1] == "--pair":
         run_scaling(rounds=1, only=sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bpe":
+        run_bpe_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 600_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--recall":
+        run_recall_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 100_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        run_skew_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--streaming":
+        run_streaming_bench(int(sys.argv[2]) if len(sys.argv) > 2 else 200_000)
     else:
         run_bench()

@@ -1,0 +1,133 @@
+"""Profile one scaling leg: split CODE overhead from co-tenant steal.
+
+The r3 verdict's open question on the >=0.8 N->4N target: is the
+sub-0.8 reading at 8->32 real parallel overhead in the code, or
+physical core contention on this shared box?  The two are separable
+with per-task metrics from the Spark event log:
+
+- ``executorCpuTime``  — CPU actually burned by the task (ns).  If the
+  TOTAL cpu time at 32 cores ~= the total at 8 cores (same fixed work),
+  the code adds no parallel overhead going wide: perfect-scaling wall
+  would be cpu_total/cores.
+- ``executorRunTime`` — wall time inside the task.  run - cpu = time
+  the task existed but wasn't on a core: involuntary descheduling
+  (co-tenant steal), GC pauses (``jvmGcTime``, reported separately),
+  and I/O waits (none in this corpus-in-memory job).
+
+Usage:  python tools/profile_leg.py <cores> <n_docs> [impl]
+Writes BENCH/profile_leg<cores>.json and prints it.
+
+The job is the IDENTICAL extract leg bench.py --one-scale times (same
+synth corpus, same partitioning), with the event log enabled and one
+untimed warmup pass.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:
+        return None
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 2_400_000
+    impl = sys.argv[3] if len(sys.argv) > 3 else "catalyst"
+
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.operators import extraction, extraction_arrow
+    from tackle4losscontentextraction_spark.session import get_spark
+    from tackle4losscontentextraction_spark.sources import synth
+
+    evdir = tempfile.mkdtemp(prefix="t4l_evlog_")
+    spark = get_spark(
+        app_name=f"t4l-profile-{cores}", cores=cores,
+        shuffle_partitions=max(cores, 16),
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    parts = 128 if n_docs <= 600_000 else 512
+    docs = synth.synth_docs(spark, n_docs, partitions=parts).cache()
+    docs.count()
+    fn = extraction_arrow.extract_arrow if impl == "arrow" else extraction.extract
+
+    # untimed warmup (JIT, codegen, python workers)
+    fn(docs).agg(F.count(F.lit(1))).collect()
+
+    load_before = _load1()
+    t0 = time.perf_counter()
+    fn(docs).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("content_chars").alias("_force")
+    ).collect()
+    wall = time.perf_counter() - t0
+    load_after = _load1()
+    app_id = spark.sparkContext.applicationId
+    spark.stop()
+
+    # parse the event log: task metrics of the LAST job only (the
+    # timed run) — job ids increase, so take tasks after the last
+    # SparkListenerJobStart
+    path = glob.glob(f"{evdir}/{app_id}*")[0]
+    events = []
+    with open(path) as f:
+        for line in f:
+            try:
+                events.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    job_starts = [i for i, e in enumerate(events) if e.get("Event") == "SparkListenerJobStart"]
+    last_job_at = job_starts[-1]
+    cpu_ns = run_ms = gc_ms = n_tasks = 0
+    for e in events[last_job_at:]:
+        if e.get("Event") != "SparkListenerTaskEnd":
+            continue
+        m = e.get("Task Metrics") or {}
+        cpu_ns += m.get("Executor CPU Time", 0)
+        run_ms += m.get("Executor Run Time", 0)
+        gc_ms += m.get("JVM GC Time", 0)
+        n_tasks += 1
+
+    cpu_sec = cpu_ns / 1e9
+    run_sec = run_ms / 1e3
+    out = {
+        "cores": cores, "n_docs": n_docs, "impl": impl,
+        "wall_sec": round(wall, 3),
+        "n_tasks": n_tasks,
+        "task_cpu_sec_total": round(cpu_sec, 2),
+        "task_run_sec_total": round(run_sec, 2),
+        "task_gc_sec_total": round(gc_ms / 1e3, 2),
+        "offcore_sec_total": round(run_sec - cpu_sec, 2),
+        "perfect_wall_from_cpu": round(cpu_sec / cores, 3),
+        "core_utilization": round(cpu_sec / (cores * wall), 3),
+        "load_1min_before": load_before,
+        "load_1min_after": load_after,
+        "docs_per_sec": round(n_docs / wall, 1),
+        "note": "offcore = executorRunTime - executorCpuTime: time tasks "
+                "existed but were not on a core (co-tenant steal + GC + "
+                "scheduler); cpu_sec_total is the fixed work — compare it "
+                "across cores to bound the CODE's parallel overhead",
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH", f"profile_leg{cores}_{impl}.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
