@@ -304,19 +304,28 @@ def run_streaming_bench(n_docs: int = 200_000, n_files: int = 24) -> None:
     work = tempfile.mkdtemp(prefix="t4l_stream_bench_")
     try:
         docs = synth.synth_docs(spark, n_docs, partitions=n_files)
-        # event time advances ~1 min per file: availableNow lists files
-        # in path order = range-partition order
+        # synth doc_ids are zero-padded strings ("d00016666"): recover
+        # the numeric id for time assignment
+        num = F.regexp_replace("doc_id", "[^0-9]", "").try_cast("bigint")
+        # event time advances ~1 min per file.  Files are written
+        # SEQUENTIALLY (one write per slice) because the file source
+        # orders same-mtime files arbitrarily: a high-timestamp file
+        # processed early races the watermark forward and every older
+        # file's rows are then discarded as late data instead of
+        # exercising dedup state (observed: one eviction burst, then
+        # all-late batches).
+        slice_idx = (num * n_files / n_docs).cast("int")
         docs = docs.withColumn(
             "ingest_ts",
-            F.timestamp_seconds(
-                F.lit(1700000000) + (F.col("doc_id") * n_files / n_docs).cast("int") * 60
-            ),
-        )
-        (docs.repartitionByRange(n_files, "doc_id")
-             .write.mode("overwrite").parquet(f"{work}/in"))
+            F.timestamp_seconds(F.lit(1700000000) + slice_idx * 60),
+        ).withColumn("_slice", slice_idx).cache()
+        docs.count()
+        for i in range(n_files):
+            (docs.where(F.col("_slice") == i).drop("_slice").coalesce(1)
+                 .write.mode("overwrite").parquet(f"{work}/in/f{i:02d}"))
 
         # --- stateless extract throughput ---
-        stream = se.read_docs_stream(spark, f"{work}/in", max_files=1)
+        stream = se.read_docs_stream(spark, f"{work}/in/*", max_files=1)
         extracted = se.extract_stream(stream)
 
         def count_batch(batch_df, batch_id):
@@ -337,19 +346,22 @@ def run_streaming_bench(n_docs: int = 200_000, n_files: int = 24) -> None:
         }
 
         # --- stateful dedup state plateau ---
-        dup = spark.read.parquet(f"{work}/in").withColumn(
+        dup = docs.withColumn(
             "text", F.concat_ws(" ", F.transform("spans", lambda s: s["text"]))
-        ).select("doc_id", "text", "ingest_ts")
+        ).select("doc_id", "text", "ingest_ts", "_slice")
         # ~50% dup rate: every second doc collides on an earlier digest
         dup = dup.withColumn(
             "text",
             F.when(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0,
                    F.concat(F.lit("shared-"), F.pmod(F.xxhash64("doc_id"), F.lit(n_docs // 4))))
             .otherwise(F.col("text")),
-        )
-        dup.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(f"{work}/in_dedup")
+        ).cache()
+        dup.count()
+        for i in range(n_files):  # sequential writes: ordered mtimes
+            (dup.where(F.col("_slice") == i).drop("_slice").coalesce(1)
+                .write.mode("overwrite").parquet(f"{work}/in_dedup/f{i:02d}"))
         stream2 = (spark.readStream.schema("doc_id string, text string, ingest_ts timestamp")
-                   .option("maxFilesPerTrigger", 1).parquet(f"{work}/in_dedup"))
+                   .option("maxFilesPerTrigger", 1).parquet(f"{work}/in_dedup/*"))
         deduped = ds.dedup_stream(stream2, delay="10 minutes")
         q2 = (deduped.writeStream.foreachBatch(
                 lambda b, i: b.agg(F.count(F.lit(1))).collect())
@@ -358,14 +370,24 @@ def run_streaming_bench(n_docs: int = 200_000, n_files: int = 24) -> None:
         q2.awaitTermination(600)
         prog2 = [p for p in (q2.recentProgress or []) if p.get("stateOperators")]
         state_rows = [p["stateOperators"][0].get("numRowsTotal") for p in prog2]
-        half = len(state_rows) // 2
+        removed = [p["stateOperators"][0].get("numRowsRemoved", 0) for p in prog2]
+        # the unbounded counterfactual: without watermark eviction the
+        # store would hold EVERY distinct digest ever seen
+        distinct_digests = (
+            spark.read.parquet(f"{work}/in_dedup/*")
+            .select(F.count_distinct(ds.dedup_key()).alias("n")).collect()[0].n
+        )
         dedup_out = {
             "n_microbatches": len(prog2),
             "state_rows_per_batch": state_rows,
+            "state_removed_per_batch": removed,
             "state_peak": max(state_rows) if state_rows else None,
             "state_final": state_rows[-1] if state_rows else None,
-            "plateaued": bool(state_rows) and max(state_rows[half:]) <= max(state_rows) * 1.05
-                         and state_rows[-1] < rows,
+            "distinct_digests_total": int(distinct_digests),
+            # bounded = eviction observed AND the store never approached
+            # the all-keys counterfactual
+            "state_bounded": bool(state_rows) and sum(removed) > 0
+                             and max(state_rows) < 0.75 * distinct_digests,
         }
         out = {"n_docs": n_docs, "n_files": n_files, "cpus": CPUS,
                "load_1min": _load1(), "extract": extract_out, "dedup": dedup_out}

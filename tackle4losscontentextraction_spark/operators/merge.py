@@ -301,6 +301,53 @@ def merge_write(
     return {"snapshot": new_id, "touched_buckets": touched, "rows_written": rows_written}
 
 
+def compact(spark: SparkSession, table_dir: str) -> dict:
+    """Full-table compaction (Iceberg rewrite_data_files): rewrite every
+    live bucket into ONE new snapshot.  Collapses the read plan back to
+    a single basePath group (a long-running streaming MERGE sink
+    otherwise accretes one serving snapshot per micro-batch cohort) and
+    merges small files.  Commits through the same atomic manifest
+    publish as merge_write; a kill mid-compaction leaves the previous
+    snapshot current."""
+    import json
+
+    cur_id = current_snapshot_id(spark, table_dir)
+    if cur_id is None:
+        return {"snapshot": None, "rows_written": 0}
+    cur_man = _read_manifest(spark, table_dir, cur_id)
+    new_id = cur_id + 1
+    data_dir = f"{table_dir}/data/snap-{new_id}"
+    fsutil.delete_dir(spark, data_dir)
+
+    tbl = read_table(spark, table_dir, snapshot=cur_id)
+    from pyspark.sql import Observation
+
+    obs = Observation(f"compact_snap{new_id}")
+    tbl = tbl.observe(obs, F.count(F.lit(1)).alias("rows"))
+    tbl.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
+    rows_written = obs.get["rows"]
+
+    manifest = {
+        "snapshot_id": new_id,
+        "parent": cur_id,
+        "n_buckets": cur_man.get("n_buckets"),
+        "key": cur_man.get("key"),
+        "buckets": {b: new_id for b in cur_man["buckets"]},
+        "touched_buckets": sorted(int(b) for b in cur_man["buckets"]),
+        "rows_written": rows_written,
+        "compaction": True,
+    }
+    tmp = f"{table_dir}/metadata/.tmp-snap-{new_id}.json"
+    fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
+    if not fsutil.rename(spark, tmp, _manifest_path(table_dir, new_id)):
+        fsutil.delete_dir(spark, tmp)
+        fsutil.delete_dir(spark, data_dir)
+        raise RuntimeError(
+            f"snapshot {new_id} was published concurrently in {table_dir}; retry"
+        )
+    return {"snapshot": new_id, "rows_written": rows_written}
+
+
 def expire_snapshots(
     spark: SparkSession, table_dir: str, keep_last: int = 2
 ) -> dict:

@@ -37,6 +37,53 @@ def salted_count(
     return phase1.groupBy("grp").agg(F.sum("c").cast("bigint").alias("n"))
 
 
+_PARTIAL = {
+    "count": (F.count, F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    group_col: str | Column,
+    aggs: dict[str, tuple[str, str | Column]],
+    row_key: str = "doc_id",
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregate for any set of DECOMPOSABLE aggregates
+    (count/sum/min/max — the algebraic aggs whose partials combine).
+
+    ``aggs``: out_alias -> (fn_name, input column), e.g.
+    ``{"n": ("count", "*"), "chars": ("sum", "n_chars")}``.
+
+    Same plan shape as :func:`salted_count` (which is the ``count``
+    special case): phase 1 groups on (key, salt) so the hot key's rows
+    split across ``buckets`` reducers; phase 2 combines the per-salt
+    partials — ``buckets`` rows per key, trivially small. avg is
+    expressible as sum/count by the caller; distinct-style aggs are NOT
+    decomposable this way (their state, not their input, is the skew).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    partials = []
+    finals = []
+    for alias, (fn, col) in aggs.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+        p_fn, f_fn = _PARTIAL[fn]
+        c = F.lit(1) if (fn == "count" and col == "*") else (
+            F.col(col) if isinstance(col, str) else col)
+        partials.append(p_fn(c).alias(f"__p_{alias}"))
+        finals.append(f_fn(F.col(f"__p_{alias}")).alias(alias))
+    phase1 = (
+        with_salt(df, row_key, buckets)
+        .groupBy(g.alias("grp"), F.col("_salt"))
+        .agg(*partials)
+    )
+    return phase1.groupBy("grp").agg(*finals)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -34,14 +34,24 @@ def start_merge_sink(
     checkpoint_dir: str,
     key: str = "doc_id",
     n_buckets: int = 16,
+    expire_every: int = 50,
+    keep_snapshots: int = 10,
 ) -> StreamingQuery:
-    """Start a foreachBatch upsert of ``stream`` into ``table_dir``."""
+    """Start a foreachBatch upsert of ``stream`` into ``table_dir``.
+
+    Each micro-batch commits one table snapshot, so a long-running sink
+    accretes history; every ``expire_every`` batches the sink expires
+    all but the newest ``keep_snapshots`` manifests (data dirs still
+    serving current buckets survive — see merge.expire_snapshots).
+    Pass ``expire_every=0`` to keep unbounded history."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         merge.merge_write(
-            batch_df.sparkSession, table_dir, batch_df,
-            key=key, n_buckets=n_buckets,
+            spark, table_dir, batch_df, key=key, n_buckets=n_buckets,
         )
+        if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+            merge.expire_snapshots(spark, table_dir, keep_last=keep_snapshots)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)

@@ -227,3 +227,39 @@ def test_update_columns_never_changes_keyset(spark, target, updates):
         if k in updates and updates[k] == "":
             exp = ""  # matched row takes the update value
         assert got[k] == exp, k
+
+
+def test_compact_collapses_serving_snapshots(spark, tmp_path):
+    """compact (Iceberg rewrite_data_files) rewrites every live bucket
+    into one snapshot: content identical, one serving data dir, prior
+    snapshots still readable until expired."""
+    table = str(tmp_path / "cmp_table")
+    v0 = spark.range(0, 80).select(
+        F.col("id").alias("doc_id"), F.lit("v0").alias("text"))
+    merge_ops.merge_write(spark, table, v0, n_buckets=8)
+    for i, (k, v) in enumerate([(3, "a"), (11, "b"), (27, "c")]):
+        merge_ops.merge_write(
+            spark,
+            table,
+            spark.createDataFrame([(k, v)], "doc_id bigint, text string"),
+            n_buckets=8,
+        )
+    man_before = merge_ops._read_manifest(
+        spark, table, merge_ops.current_snapshot_id(spark, table))
+    assert len({int(s) for s in man_before["buckets"].values()}) > 1
+
+    before = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    res = merge_ops.compact(spark, table)
+    assert res["rows_written"] == 80
+    man = merge_ops._read_manifest(
+        spark, table, merge_ops.current_snapshot_id(spark, table))
+    assert {int(s) for s in man["buckets"].values()} == {res["snapshot"]}
+    after = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert after == before
+    # pre-compaction snapshot still time-travels
+    t0 = {r.doc_id: r.text for r in merge_ops.read_table(spark, table, snapshot=0).collect()}
+    assert t0[3] == "v0"
+    # and expire keeps only the compacted tip readable
+    merge_ops.expire_snapshots(spark, table, keep_last=1)
+    assert merge_ops.snapshots(spark, table) == [res["snapshot"]]
+    assert merge_ops.read_table(spark, table).count() == 80

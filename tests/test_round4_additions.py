@@ -190,3 +190,40 @@ def test_resize_image_batch_real_bmp_path(spark):
     assert out["m1"].width == 4 and out["m1"].height == 4
     # undecodable payload passes through untouched, dims unchanged
     assert bytes(out["m2"].payload) == b"junk" and out["m2"].width == 16
+
+
+def test_salted_agg_equals_plain(spark):
+    """salted_agg (two-phase decomposable aggregate) must be
+    row-identical to the plain groupBy for count/sum/min/max on a
+    skewed corpus."""
+    from tackle4losscontentextraction_spark.operators import skew as skew_ops
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod("id", F.lit(10)) < 6, F.lit("hot"))
+         .otherwise(F.concat(F.lit("d"), F.pmod("id", F.lit(50)))).alias("domain"),
+        (F.pmod("id", F.lit(997))).cast("double").alias("v"),
+    )
+    got = {
+        r.grp: r for r in skew_ops.salted_agg(
+            df, "domain",
+            {"n": ("count", "*"), "s": ("sum", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+        ).collect()
+    }
+    want = {
+        r.domain: r for r in df.groupBy("domain").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi")).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n, g.lo, g.hi) == (w.n, w.lo, w.hi), k
+        assert abs(g.s - w.s) < 1e-6, k
+
+    try:
+        skew_ops.salted_agg(df, "domain", {"u": ("collect_set", "v")})
+        raise AssertionError("expected ValueError for non-decomposable agg")
+    except ValueError:
+        pass
