@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--arrow", action="store_true",
                     help="use the mapInPandas extraction path")
+    ap.add_argument("--html", action="store_true",
+                    help="input is raw HTML (doc_id, url, lang, html): "
+                         "DOM-tokenize to spans before extraction")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,7 +52,21 @@ def main() -> int:
     from tackle4losscontentextraction_spark.plans import pipeline
     from tackle4losscontentextraction_spark.sources import lineage, synth
 
-    docs = synth.docs_from_documents(spark.read.parquet(args.input))
+    raw = spark.read.parquet(args.input)
+    if args.html:
+        # raw fetched pages (the reference's actual entry surface):
+        # DOM-tokenize each page to the span table, then re-attach the
+        # fetch metadata the extractor consumes. The join keys are
+        # unique per side, so AQE picks a plain shuffle join that
+        # scales with executors; at cluster scale pre-bucket both
+        # sides on doc_id to make it shuffle-free.
+        from tackle4losscontentextraction_spark.operators import html_tokenize
+
+        docs = html_tokenize.tokenize_html(raw).join(
+            raw.select("doc_id", "url", "lang"), "doc_id"
+        )
+    else:
+        docs = synth.docs_from_documents(raw)
     transform = extraction_arrow.extract_arrow if args.arrow else extraction.extract
     result = lineage.run_with_resume(
         spark, docs, transform, args.output, args.lineage, n_buckets=args.buckets
