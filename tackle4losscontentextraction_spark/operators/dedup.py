@@ -31,7 +31,7 @@ Spark, DuckDB and Python, which makes the oracle exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..barrier import barrier as barrier_fn
@@ -227,15 +227,19 @@ def jaccard_pairs(
     filtering after collect_set would first build the hot shingle's
     full posting array (millions of structs) in ONE aggregation buffer
     just to discard it — exactly the memory spike the guard exists to
-    prevent. The guard's df-count branch re-derives shingles from the
-    source (Catalyst prunes it down to the shingle column alone, so its
-    shuffle is strings-only; a shared posting exchange is NOT reusable
-    here precisely because that pruning makes the two subtrees differ),
-    which upper-bounds the guard's cost at one extra map-side pass —
-    measured ~2x the unguarded runtime, and chosen deliberately over
-    (a) post-collect filtering (the OOM) and (b) persisting the posting
-    list (a dataset-sized cache at 100 TB). The hot set is tiny (the
-    Zipf head), so the anti-join broadcasts.
+    prevent. The df count is a window ``count(*) over (partition by
+    shingle)`` over the SAME posting exchange the bucket aggregation
+    consumes: the explicit ``repartition("shingle")`` satisfies both
+    the window's and the groupBy's required distribution, so the plan
+    is Exchange → Sort → Window → Filter → HashAggregate — the
+    shingling lineage and the posting shuffle each run exactly once
+    (a two-branch formulation — separate df aggregate + anti-join —
+    computes the shingling twice, because column pruning specializes
+    the df branch's subtree and defeats exchange reuse; measured ~2x).
+    Memory: WindowExec buffers one shingle's rows in a spillable array
+    (ExternalAppendOnlyUnsafeRowArray), so even a degenerate hot
+    shingle spills to disk instead of OOMing the agg buffer — strictly
+    safer than post-collect filtering, at the cost of the local sort.
     """
     # barrier: the shingle HOF tree feeds BOTH size() and explode();
     # Generate consumers get no expression CSE, so without forced
@@ -249,15 +253,15 @@ def jaccard_pairs(
         F.explode("shingles").alias("shingle"),
     )
     if max_df is not None:
-        # the ONE posting shuffle; both aggregations below reuse it
+        # the ONE posting shuffle; the window df-count and the bucket
+        # groupBy both run on this partitioning with no further exchange
         posting = posting.repartition("shingle")
-        hot = (
-            posting.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_df)
-            .select("shingle")
+        w = Window.partitionBy("shingle")
+        posting = (
+            posting.withColumn("df", F.count(F.lit(1)).over(w))
+            .where(F.col("df") <= max_df)
+            .drop("df")
         )
-        posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     buckets = posting.groupBy("shingle").agg(
         F.array_sort(F.collect_set("m")).alias("ms")
     )
