@@ -62,3 +62,22 @@ def test_extraction_aggregate_does_not_duplicate_regex(spark):
     # regexp_replace may appear above it
     above_filter = plan.split("__collapse_barrier__")[0]
     assert "regexp_replace" not in above_filter
+
+
+def test_jaccard_guard_single_pass(spark):
+    """The df-guard must ride the one posting exchange, not re-derive
+    the shingling in a second branch (regression for the r3 ~2x guard
+    cost): final plan = one source scan, a Window count on the shingle
+    partitioning, and no broadcast anti-join."""
+    from tackle4losscontentextraction_spark.operators import dedup
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    df = dedup.jaccard_pairs(docs)
+    plan = _executed(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, "guard re-derives the shingling"
+    assert "Window" in final
+    assert "BroadcastExchange" not in final
+    # exactly two wide exchanges: posting (shingle) + pair aggregation
+    assert final.count("Exchange hashpartitioning") == 2
