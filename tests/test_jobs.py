@@ -120,3 +120,29 @@ def test_run_extraction_html_mode(tmp_path, spark):
     # back from markup classify like the direct-span path does
     assert {"content_type", "extracted", "error"} <= set(extracted.columns)
     assert extracted.where("NOT error").count() > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_run_pipeline_end_to_end_and_resume(tmp_path):
+    wd = str(tmp_path / "wd")
+    argv = ("--input", f"{SF}/documents.parquet",
+            "--workdir", wd, "--buckets", "2", "--cluster")
+
+    r1 = _run_job("run_pipeline.py", *argv)
+    assert sorted(r1["resume"]["processed"]) == [0, 1]
+    assert r1["metrics"]["n_docs"] == 500
+    # R5 gate: only non-error rows reach the doc table
+    assert r1["doc_table"]["rows_written"] == 500 - r1["metrics"]["n_errors"]
+    assert 0 < r1["vec_table"]["rows_written"] <= r1["doc_table"]["rows_written"]
+    assert r1["clustering"]["state_version"] == 0
+
+    # rerun: extraction resumes (nothing pending), merges re-upsert the
+    # same rows into new snapshots, clustering advances its state
+    # version (prior pendings may now join clusters formed in run 1)
+    r2 = _run_job("run_pipeline.py", *argv)
+    assert r2["resume"]["processed"] == []
+    assert sorted(r2["resume"]["skipped"]) == [0, 1]
+    assert r2["doc_table"]["rows_written"] == r1["doc_table"]["rows_written"]
+    assert r2["doc_table"]["snapshot"] == r1["doc_table"]["snapshot"] + 1
+    assert r2["clustering"]["state_version"] == 1
+    assert r2["clustering"]["memberships"] >= r1["clustering"]["memberships"]

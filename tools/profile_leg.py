@@ -84,14 +84,18 @@ def main() -> None:
     # parse the event log: task metrics of the LAST job only (the
     # timed run) — job ids increase, so take tasks after the last
     # SparkListenerJobStart
-    path = glob.glob(f"{evdir}/{app_id}*")[0]
+    # Spark 4 rolls event logs into eventlog_v2_<appId>/events_N_<appId>
+    # directories by default; a flat <appId> file is the legacy layout
+    paths = sorted(glob.glob(f"{evdir}/eventlog_v2_{app_id}/events_*")) or \
+        glob.glob(f"{evdir}/{app_id}*")
     events = []
-    with open(path) as f:
-        for line in f:
-            try:
-                events.append(json.loads(line))
-            except json.JSONDecodeError:
-                pass
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                try:
+                    events.append(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
     job_starts = [i for i, e in enumerate(events) if e.get("Event") == "SparkListenerJobStart"]
     last_job_at = job_starts[-1]
     cpu_ns = run_ms = gc_ms = n_tasks = 0
