@@ -60,6 +60,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            # plain single-file JSON: Spark 4 defaults to rolling +
+            # zstd-compressed logs, unreadable with stdlib alone
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.compress": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -96,8 +100,15 @@ def main() -> None:
                     events.append(json.loads(line))
                 except json.JSONDecodeError:
                     pass
-    job_starts = [i for i, e in enumerate(events) if e.get("Event") == "SparkListenerJobStart"]
-    last_job_at = job_starts[-1]
+    # the timed query is the LAST SQL execution; under AQE it spawns
+    # several jobs (one per materialized stage + the result job), so
+    # windowing from the last JobStart would see only the final
+    # 1-task result job
+    sql_starts = [
+        i for i, e in enumerate(events)
+        if str(e.get("Event", "")).endswith("SparkListenerSQLExecutionStart")
+    ]
+    last_job_at = sql_starts[-1]
     cpu_ns = run_ms = gc_ms = n_tasks = 0
     for e in events[last_job_at:]:
         if e.get("Event") != "SparkListenerTaskEnd":
