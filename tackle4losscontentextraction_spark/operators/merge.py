@@ -179,6 +179,14 @@ def read_table(
     if snap_id is None:
         raise FileNotFoundError(f"no published snapshot in {table_dir}")
     man = _read_manifest(spark, table_dir, snap_id)
+    if not man["buckets"]:
+        # every row deleted: serve the (schema-preserving) empty table
+        from pyspark.sql import types as T
+
+        schema = T.StructType.fromJson(
+            __import__("json").loads(man["schema_json"])
+        ).add("bucket", T.IntegerType())
+        return spark.createDataFrame([], schema)
     by_serving: dict[int, list[int]] = {}
     for b, serving in man["buckets"].items():
         by_serving.setdefault(int(serving), []).append(int(b))
@@ -211,7 +219,11 @@ def merge_write(
       1. bucket the source; collect the DISTINCT touched bucket ids
          (bounded by n_buckets — the only driver-side state);
       2. read ONLY those buckets of the current snapshot;
-      3. dataflow-merge (:func:`upsert` / :func:`update_columns`);
+      3. dataflow-merge — ``mode``: "upsert" (:func:`upsert`),
+         "update" (:func:`update_columns`), "delete" (WHEN MATCHED THEN
+         DELETE: anti-join on the source keys; a bucket left with zero
+         rows is dropped from the manifest, so full deletion keeps the
+         table readable via the manifest's stored schema);
       4. write the merged buckets under data/snap-<N>/, then publish
          manifest N by atomic rename — one metadata op commits every
          touched bucket simultaneously.
@@ -260,10 +272,15 @@ def merge_write(
             merged = update_columns(tgt, src.drop("bucket"), key).withColumn(
                 "bucket", bucket_of
             )
+        elif mode == "delete":
+            # MERGE ... WHEN MATCHED THEN DELETE: rewrite the touched
+            # buckets without the source keys (copy-on-write, same
+            # bucket pruning as the other modes)
+            merged = tgt.join(src.select(F.col(key)).distinct(), key, "left_anti")
         else:
             raise ValueError(f"unknown merge mode: {mode}")
     else:
-        if mode == "update":
+        if mode in ("update", "delete"):
             return {"snapshot": cur_id, "touched_buckets": [], "rows_written": 0}
         merged = src
 
@@ -271,13 +288,24 @@ def merge_write(
     from pyspark.sql import Observation
 
     obs = Observation(f"merge_write_snap{new_id}")
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
+    # delete mode also needs per-bucket survivor counts: a bucket whose
+    # rows all died writes no directory and must leave the manifest
+    # (readers resolve only manifest-listed buckets)
+    per_bucket = (
+        [F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}") for b in touched]
+        if mode == "delete" else []
+    )
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"), *per_bucket)
     merged.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
-    rows_written = obs.get["rows"]
+    metrics = obs.get
+    rows_written = metrics["rows"]
 
     buckets = dict(cur_man["buckets"]) if cur_man else {}
     for b in touched:
-        buckets[str(b)] = new_id
+        if mode == "delete" and not metrics[f"b{b}"]:
+            buckets.pop(str(b), None)
+        else:
+            buckets[str(b)] = new_id
     manifest = {
         "snapshot_id": new_id,
         "parent": cur_id,
@@ -286,6 +314,9 @@ def merge_write(
         "buckets": buckets,
         "touched_buckets": touched,
         "rows_written": rows_written,
+        # lets read_table serve a fully-emptied table (no bucket dirs
+        # left to infer from)
+        "schema_json": merged.drop("bucket").schema.json(),
     }
     fsutil.mkdirs(spark, f"{table_dir}/metadata")
     tmp = f"{table_dir}/metadata/.tmp-snap-{new_id}.json"

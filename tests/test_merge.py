@@ -263,3 +263,37 @@ def test_compact_collapses_serving_snapshots(spark, tmp_path):
     merge_ops.expire_snapshots(spark, table, keep_last=1)
     assert merge_ops.snapshots(spark, table) == [res["snapshot"]]
     assert merge_ops.read_table(spark, table).count() == 80
+
+
+def test_merge_write_delete_mode(spark, tmp_path):
+    """WHEN MATCHED THEN DELETE: keys vanish at the new snapshot, stay
+    readable at the old one; a fully-emptied bucket leaves the manifest
+    and a fully-emptied table still reads (schema from the manifest)."""
+    table = str(tmp_path / "tbl")
+    base = spark.range(40).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.col("id").alias("v"))
+    merge_ops.merge_write(spark, table, base, n_buckets=4)
+
+    victims = base.where(F.col("v") < 10).select("doc_id")
+    res = merge_ops.merge_write(spark, table, victims, n_buckets=4,
+                                mode="delete")
+    assert res["snapshot"] == 1
+    live = merge_ops.read_table(spark, table)
+    assert live.count() == 30
+    assert live.where(F.col("v") < 10).count() == 0
+    # time travel still sees the deleted rows
+    assert merge_ops.read_table(spark, table, snapshot=0).count() == 40
+
+    # deleting everything leaves an empty but readable table
+    merge_ops.merge_write(spark, table, base.select("doc_id"),
+                          n_buckets=4, mode="delete")
+    empty = merge_ops.read_table(spark, table)
+    assert empty.count() == 0
+    assert {"doc_id", "v"} <= set(empty.columns)
+
+    # deleting keys that are all absent is a no-op snapshot-wise
+    ghost = spark.createDataFrame([("nope",)], "doc_id string")
+    res3 = merge_ops.merge_write(spark, table, ghost, n_buckets=4,
+                                 mode="delete")
+    assert res3["rows_written"] == 0
