@@ -103,16 +103,28 @@ def _streaming_stale() -> bool:
         return True
 
 
-def _profile_missing() -> bool:
-    return not os.path.exists(os.path.join(REPO, "BENCH", "profile_leg32.json"))
+def _profile_missing(cores: int) -> bool:
+    """Missing or taken at the wrong corpus size / load: the 8-vs-32
+    CPU-total comparison only means something when both legs ran the
+    SAME corpus on a reasonably quiet window."""
+    path = os.path.join(REPO, "BENCH", f"profile_leg{cores}_catalyst.json")
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return (d.get("n_docs") != 2_400_000
+                or (d.get("load_1min_before") or 99) > 6.0)
+    except (OSError, json.JSONDecodeError):
+        return True
 
 
 ONESHOTS: list[tuple[str, list[str], float]] = [
     ("streaming refresh", ["bench.py", "--streaming"], 4.0),
     ("profile 32-leg", ["tools/profile_leg.py", "32", "2400000"], 2.5),
+    ("profile 8-leg", ["tools/profile_leg.py", "8", "2400000"], 4.0),
 ]
 ONESHOT_PENDING = {"streaming refresh": _streaming_stale,
-                   "profile 32-leg": _profile_missing}
+                   "profile 32-leg": lambda: _profile_missing(32),
+                   "profile 8-leg": lambda: _profile_missing(8)}
 
 
 def main() -> None:
