@@ -642,6 +642,20 @@ def run_recall_bench(n_vectors: int = 100_000, dim: int = 32,
         )
     t_lsh, lsh_rows = timed(lsh_run)
 
+    # multi-table random-hyperplane LSH (similarity.lsh_topk): the
+    # recall knob single-table sign-LSH lacks — L tables union their
+    # candidate buckets before the exact verify
+    mt = {}
+    for n_tables in (4, 16):
+        t_mt, mt_rows = timed(
+            lambda nt=n_tables: sim.lsh_topk(
+                vectors, queries, k=k, n_tables=nt, n_bits=8
+            ).select("qid", "neighbor").collect())
+        mt[f"tables={n_tables}"] = {
+            "recall_at_k": recall(mt_rows), "sec": round(t_mt, 3),
+            "speedup_vs_brute": round(t_brute / t_mt, 2),
+        }
+
     out = {
         "n_vectors": n_vectors, "dim": dim, "n_queries": len(truth), "k": k,
         "cpus": CPUS, "load_1min": _load1(),
@@ -653,6 +667,7 @@ def run_recall_bench(n_vectors: int = 100_000, dim: int = 32,
             "recall_at_k": recall(lsh_rows), "sec": round(t_lsh, 3),
             "speedup_vs_brute": round(t_brute / t_lsh, 2),
         },
+        "lsh_multitable_8bit": mt,
         "note": "recall is vs exact cosine top-k on the same corpus; "
                 "ivf fit cost is offline/amortized and reported separately",
     }

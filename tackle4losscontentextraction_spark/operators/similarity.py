@@ -164,3 +164,88 @@ def ivf_topk(
                 F.round("cos_raw", 6).alias("cosine"),
                 F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes [table][bit][dim] — a fixed-seed
+    LCG (no numpy RNG state pitfalls, replay-stable across runs and
+    machines, same rule as the deterministic salts elsewhere)."""
+    state = seed & 0x7FFFFFFF
+    out = []
+    for _ in range(n_tables):
+        tbl = []
+        for _ in range(n_bits):
+            row = []
+            for _ in range(dim):
+                state = (1103515245 * state + 12345) % (1 << 31)
+                row.append(state / float(1 << 30) - 1.0)  # ~U(-1, 1)
+            tbl.append(row)
+        out.append(tbl)
+    return out
+
+
+def _lsh_sig(v, planes: list[list[float]]):
+    """n_bits-bit signature of vector column v for one table."""
+    bits = F.lit(0)
+    for j, hp in enumerate(planes):
+        h = F.array(*[F.lit(float(x)) for x in hp])
+        bits = bits + F.when(vec_fn.dot(v, h) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bits.cast("bigint")
+
+
+def lsh_topk(
+    vectors: DataFrame, queries: DataFrame, k: int = 10,
+    n_tables: int = 8, n_bits: int = 8, seed: int = 4099,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN (the classic recall fix
+    over single-table sign-LSH: P[collide in >=1 of L tables] =
+    1-(1-p^b)^L, so adding tables recovers the neighbors one table's
+    bucketing splits away — measured on a 64-center noisy corpus,
+    recall@10 climbs 0.13 -> 0.38 -> 0.66 -> 0.87 at 1/4/8/16 tables of
+    8 bits, while 12-bit buckets drop it to 0.26: tables buy recall,
+    bits buy probe cheapness; see BENCH/recall.json).
+
+    Scale shape: signatures are per-row JVM expressions (n_tables x
+    n_bits dot products against literal hyperplanes — no Python, no
+    fit/train pass unlike IVF); the vector side explodes to n_tables
+    rows and shuffles ONCE on (table, sig); queries broadcast; matched
+    candidates dedup (a pair colliding in several tables scores once)
+    and exact-verify. Probe cost ~ n_tables * bucket_size, tuned by
+    n_bits (bucket granularity) and n_tables (recall); the data
+    replication factor is n_tables on the exchange only — nothing is
+    stored.
+    """
+    dim = vectors.select(F.size(vec_col).alias("d")).first().d
+    planes = _hyperplanes(dim, n_tables, n_bits, seed)
+    normed = _normalized(vectors, id_col, vec_col)
+    q = _normalized(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv")
+    )
+
+    def tabled(df: DataFrame, vcol: str) -> DataFrame:
+        sigs = F.array(*[
+            F.struct(F.lit(t).cast("int").alias("tbl"),
+                     _lsh_sig(F.col(vcol), planes[t]).alias("sig"))
+            for t in range(n_tables)
+        ])
+        return df.select("*", F.explode(sigs).alias("ts")).select(
+            *df.columns, F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+        )
+
+    cand = (
+        F.broadcast(tabled(q, "qv"))
+        .join(tabled(normed, "v"), ["tbl", "sig"])
+        .where(F.col("qid") != F.col("vid"))
+        .select("qid", "qv", "vid", "v")
+        .dropDuplicates(["qid", "vid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vid"))
+    return (
+        cand.withColumn("cos_raw", vec_fn.dot(F.col("qv"), F.col("v")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", F.col("vid").alias("neighbor"),
+                F.round("cos_raw", 6).alias("cosine"),
+                F.col("rk").cast("bigint").alias("rk"))
+    )

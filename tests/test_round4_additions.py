@@ -227,3 +227,44 @@ def test_salted_agg_equals_plain(spark):
         raise AssertionError("expected ValueError for non-decomposable agg")
     except ValueError:
         pass
+
+
+def test_lsh_topk_multitable_recall_scales(spark):
+    """lsh_topk: more tables -> strictly more candidates -> recall vs
+    brute force must not decrease, and must clearly beat one table on
+    a clustered corpus; result schema matches brute_force_topk."""
+    from tackle4losscontentextraction_spark.operators import similarity as sim
+
+    n, dim, centers, noise = 4000, 16, 16, 0.8
+    cid = F.pmod(F.xxhash64("vec_id"), F.lit(centers))
+    emb = F.array(*[
+        (F.pmod(F.xxhash64(cid + F.lit(d * 31), F.lit(7)), F.lit(2000001))
+         - 1000000) / 1000000.0
+        + F.lit(noise) * (F.pmod(F.xxhash64(F.col("vec_id") + F.lit(d * 97),
+                                            F.lit(13)), F.lit(2000001))
+                          - 1000000) / 1000000.0
+        for d in range(dim)
+    ])
+    vecs = (spark.range(n).select(F.col("id").alias("vec_id"),
+                                  emb.alias("embedding")).cache())
+    queries = vecs.limit(10)
+
+    def pairs(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.qid, set()).add(r.neighbor)
+        return out
+
+    truth = pairs(sim.brute_force_topk(vecs, queries, k=5))
+
+    def recall(got):
+        return sum(len(got.get(q, set()) & t) / len(t)
+                   for q, t in truth.items()) / len(truth)
+
+    r1 = recall(pairs(sim.lsh_topk(vecs, queries, k=5, n_tables=1, n_bits=6)))
+    r8 = recall(pairs(sim.lsh_topk(vecs, queries, k=5, n_tables=8, n_bits=6)))
+    assert r8 >= r1
+    assert r8 >= 0.5, (r1, r8)
+    # determinism: fixed seed, fixed hyperplanes
+    again = recall(pairs(sim.lsh_topk(vecs, queries, k=5, n_tables=8, n_bits=6)))
+    assert again == r8

@@ -117,14 +117,24 @@ def _profile_missing(cores: int) -> bool:
         return True
 
 
+def _recall_stale() -> bool:
+    try:
+        with open(os.path.join(REPO, "BENCH", "recall.json")) as f:
+            return "lsh_multitable_8bit" not in json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return True
+
+
 ONESHOTS: list[tuple[str, list[str], float]] = [
     ("streaming refresh", ["bench.py", "--streaming"], 4.0),
     ("profile 32-leg", ["tools/profile_leg.py", "32", "2400000"], 2.5),
     ("profile 8-leg", ["tools/profile_leg.py", "8", "2400000"], 4.0),
+    ("recall refresh", ["bench.py", "--recall"], 4.0),
 ]
 ONESHOT_PENDING = {"streaming refresh": _streaming_stale,
                    "profile 32-leg": lambda: _profile_missing(32),
-                   "profile 8-leg": lambda: _profile_missing(8)}
+                   "profile 8-leg": lambda: _profile_missing(8),
+                   "recall refresh": _recall_stale}
 
 
 def main() -> None:
