@@ -2,15 +2,22 @@
 
 The north star names "PDF/layout parse" alongside HTML extraction; the
 reference's fallback extractor role is extractContent.py:208-217 (take
-the raw fetched body when structured extraction fails). A real PDF
-parser (pdfium/poppler) is not in this container, so the *decode* step
-is the same pattern as operators/multimodal.py: the page-box table a
-parser would emit is synthesized deterministically
-(:func:`synth_layout_boxes` — the documented stand-in kernel, mirrored
-in the DuckDB oracle), while everything downstream of the parse — the
-box schema, column detection and reading-order linearization
-(:func:`linearize_layout`) — is the real, scale-designed operator a
-pdfium-backed ``mapInPandas`` would feed on a cluster.
+the raw fetched body when structured extraction fails). The box table
+has two entry surfaces:
+
+- :func:`synth_layout_boxes` — the deterministic arithmetic generator
+  (mirrored in the DuckDB oracle, so the driver gate covers the whole
+  path without binary fixtures);
+- operators/pdf.py (round 4) — a REAL binary surface: `render_pdf`
+  emits complete FlateDecode-compressed PDFs from a box table and
+  `parse_pdf` tokenizes actual PDF content streams back into it; the
+  round trip is exact on synth_layout_boxes' output (test_pdf), so
+  :func:`linearize_layout` is proven over parsed binary documents,
+  not only over the generator.
+
+Column detection and reading-order linearization
+(:func:`linearize_layout`) are the scale-designed operators both
+surfaces feed.
 
 Box model: (doc_id, box_id, page, x, y, w, h, text) — one row per
 layout block, coordinates in points, origin top-left (the pdfminer /
