@@ -134,26 +134,25 @@ def test_upsert_plan_single_broadcast_join(spark):
 
 def test_jaccard_plan_shuffle_bound(spark):
     """The bucketed jaccard keeps its two data shuffles (shingle buckets
-    + pair aggregation; +1 input repartition here) plus the df-guard's
-    count aggregation; the hot-shingle anti-join must be a BROADCAST
-    join (the Zipf head is tiny), never a sort-merge join, and the size
-    lookup must still ride the buckets — no join carries posting
-    payloads."""
+    + pair aggregation; +1 input repartition here). Since round 4 the
+    df guard is a window count riding the posting exchange — the plan
+    must contain NO join at all (the round-3 broadcast anti-join guard
+    had a second, column-pruned shingling branch) and no extra
+    exchange for the guard."""
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").repartition(4)
     from tackle4losscontentextraction_spark.operators import dedup
 
     df = dedup.jaccard_pairs(d, shingle_n=3, threshold=0.1)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "SortMergeJoin" not in plan, "hot-shingle anti-join must broadcast"
-    # exactly one join: the broadcast left_anti df guard
-    assert plan.count("BroadcastHashJoin") == 1
+    assert "Join" not in plan, "window df guard must not join"
+    assert "Window" in plan
 
     def shuffles(p: str) -> int:
         return p.count("Exchange") - p.count("BroadcastExchange")
 
-    # shuffles: input repartition appears under both the df-count branch
-    # and the posting branch (2), + df-count agg + bucket agg + pair agg
-    assert shuffles(plan) <= 5
+    # shuffles: input repartition + posting repartition (guard rides
+    # it) + pair aggregation
+    assert shuffles(plan) <= 3
 
     # max_df=None restores the guard-free, join-free plan
     df2 = dedup.jaccard_pairs(d, shingle_n=3, threshold=0.1, max_df=None)
