@@ -907,20 +907,39 @@ def run_scaling(rounds: int = 1, only: str | None = None) -> None:
     eff = {name: _eff(impl, ca, cb, n) for name, impl, ca, cb, n in PAIRS}
 
     # best ADMISSIBLE paired sample per pair: measured on the pair's
-    # CURRENT corpus size, and with the small leg within 20% of its
-    # global-minimum time — else the window's slow denominator would
-    # inflate the ratio (see docstring)
+    # CURRENT corpus size, and with the small leg within 5% of its
+    # global-minimum time — else the window's slow denominator inflates
+    # the ratio (round 3 used 20%, which allowed readings up to 1.2x
+    # the truth; the r4 tightening caps the inflation at 1.05x, which
+    # is exactly the settle band's upper edge). Each reported pair also
+    # carries eff_floor = small_floor / (4 * large_sec): the CONSERVATIVE
+    # reading that charges the window's best large leg against the
+    # quietest small leg ever seen — it can only understate.
     paired_best: dict[str, dict] = {}
     for name, impl, ca, cb, n in PAIRS:
         floor = best.get((impl, ca, n), {}).get("sec")
         if floor is None:
             continue
-        admissible = [s for s in paired.get(name, [])
-                      if s.get("n_docs") == n and s["small_sec"] <= 1.2 * floor]
+        cur = [s for s in paired.get(name, []) if s.get("n_docs") == n]
+        admissible = [s for s in cur if s["small_sec"] <= 1.05 * floor]
         if admissible:
             top = max(admissible, key=lambda s: s["efficiency"])
-            paired_best[name] = {**top, "admissible_of": len(paired[name]),
-                                 "small_floor_sec": floor}
+            eff_floor = round(floor / (4 * top["large_sec"]), 3)
+            paired_best[name] = {**top, "admissible_of": len(cur),
+                                 "small_floor_sec": floor,
+                                 "efficiency_floor": eff_floor}
+        elif cur:
+            # no admissible window yet: report the conservative reading
+            # of the window with the best large leg, flagged as such
+            top = min(cur, key=lambda s: s["large_sec"])
+            paired_best[name] = {
+                "efficiency": round(floor / (4 * top["large_sec"]), 3),
+                "conservative_floor_reading": True,
+                "n_docs": n, "small_sec": None,
+                "small_load": None, "large_sec": top["large_sec"],
+                "large_load": top["large_load"],
+                "admissible_of": len(cur), "small_floor_sec": floor,
+            }
     report = {
         "metric": "N->4N scaling efficiency (fixed work per pair, min over interleaved reps)",
         "results": {

@@ -183,3 +183,32 @@ def test_sample_history_is_bounded(tmp_path, monkeypatch):
         prior = d
     assert all(len(v) <= 60 for v in d["paired_samples"].values())
     assert len(d["paired_samples"]["4_to_16"]) == 3
+
+
+def test_mild_small_leg_inflation_rejected_since_r4(tmp_path, monkeypatch):
+    """Round-3's 20% admissibility band let a small leg 10-20% over its
+    floor report efficiencies up to 1.2x truth (the '1.111 superlinear'
+    artifact). The r4 gate is 5%: a 1.1x-floor small leg sample must
+    NOT beat an honest one, and a pair with no admissible window yet
+    reports the conservative floor reading instead of nothing."""
+    quiet = _run(tmp_path, monkeypatch, PERFECT)
+    mild = dict(PERFECT)
+    for key in SMALL_LEGS:
+        mild[key] = PERFECT[key] * 1.1  # contended denominator: eff 1.1
+    d = _run(tmp_path, monkeypatch, mild, prior=quiet)
+    for pair in ("4_to_16", "2_to_8"):
+        assert d["paired"][pair]["efficiency"] == 1.0, pair
+        assert d["paired"][pair]["efficiency_floor"] == 1.0, pair
+
+    # known floor but NO paired window at current size yet (e.g. after
+    # a corpus-size bump): the only window is inadmissible, so the pair
+    # reports the flagged conservative floor reading floor/(4*large)
+    # instead of nothing
+    quiet_no_pairs = dict(quiet, paired_samples={}, paired={})
+    d2 = _run(tmp_path, monkeypatch, mild, prior=quiet_no_pairs)
+    for pair in ("4_to_16", "2_to_8"):
+        p = d2["paired"][pair]
+        assert p.get("conservative_floor_reading") is True, pair
+        # floor 60 over the window's large leg 15: 60/(4*15) = 1.0 —
+        # the contended small leg cannot inflate this reading
+        assert p["efficiency"] == 1.0, pair
