@@ -188,7 +188,16 @@ def main() -> int:
             f"{state_dir}/v{new_ver}/memberships")
         tmp = f"{state_dir}/committed-v{new_ver}.tmp"
         fsutil.write_text(spark, tmp, str(new_ver))
-        fsutil.rename(spark, tmp, f"{state_dir}/committed-v{new_ver}")
+        if not fsutil.publish_file(spark, tmp, f"{state_dir}/committed-v{new_ver}"):
+            # the marker already exists (lost race or leftover from a
+            # partial prior run): the v<N+1> dirs we wrote are NOT the
+            # committed state — surface the conflict instead of
+            # reporting a version that never published
+            fsutil.delete_dir(spark, tmp)
+            raise RuntimeError(
+                f"cluster-state version {new_ver} was already committed in "
+                f"{state_dir}; re-run to retry against the committed state"
+            )
         out["clustering"] = {
             "state_version": new_ver,
             "clusters": spark.read.parquet(

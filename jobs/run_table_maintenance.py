@@ -51,6 +51,10 @@ def main() -> int:
                        help="time-travel snapshot id (default: current)")
     p_out.add_argument("--out", required=True, help="output parquet dir")
     args = ap.parse_args()
+    if args.action == "expire" and args.keep_last < 1:
+        # keep_last=0 would delete every manifest + data dir — an
+        # unrecoverable table; the library also refuses (merge.py)
+        ap.error("--keep-last must be >= 1")
 
     from pyspark.sql import SparkSession
 

@@ -81,9 +81,53 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Atomic rename (no overwrite: returns False if dst exists on
-    HDFS/file:) — the commit primitive of the snapshot publish."""
+    HDFS/file:) — the commit primitive of the snapshot publish.
+
+    NOTE the ``file:`` caveat: Hadoop's local rename is File.renameTo,
+    which on POSIX silently REPLACES an existing dst, so the exists()
+    pre-check here is a TOCTOU window.  Single-writer callers (lineage
+    markers, job state publish) are fine; anything that needs a real
+    concurrent-writer guarantee must commit through
+    :func:`publish_file` instead."""
     fs, p_src = _fs_and_path(spark, src)
     _, p_dst = _fs_and_path(spark, dst)
+    if fs.exists(p_dst):
+        return False
+    return bool(fs.rename(p_src, p_dst))
+
+
+def publish_file(spark: SparkSession, src: str, dst: str) -> bool:
+    """Atomically publish a fully-written file at ``dst`` with
+    create-no-overwrite semantics: returns True and ``dst`` appears
+    with complete content, or returns False because ``dst`` already
+    exists (the optimistic-concurrency loss signal).  Never partially
+    publishes.
+
+    - ``file:`` — java.nio ``Files.createLink`` (POSIX link(2)):
+      kernel-atomic EEXIST, no TOCTOU, dst carries src's full content
+      the instant it exists; src is unlinked afterwards.
+    - other schemes — ``FileSystem.rename``: atomic and no-overwrite
+      on HDFS (and object-store committers emulate it); the local
+      TOCTOU caveat of :func:`rename` does not apply off ``file:``.
+    """
+    fs, p_src = _fs_and_path(spark, src)
+    _, p_dst = _fs_and_path(spark, dst)
+    scheme = p_dst.toUri().getScheme()
+    if scheme in (None, "file"):
+        jvm = spark._jvm
+        # java.io.File(...).toPath() instead of Paths.get: Py4J cannot
+        # dispatch the latter's (String, String...) varargs signature
+        try:
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(p_dst.toUri().getPath()).toPath(),
+                jvm.java.io.File(p_src.toUri().getPath()).toPath(),
+            )
+        except Exception as e:  # Py4JJavaError wrapping the nio exception
+            if "FileAlreadyExistsException" in str(e):
+                return False
+            raise
+        fs.delete(p_src, False)
+        return True
     if fs.exists(p_dst):
         return False
     return bool(fs.rename(p_src, p_dst))

@@ -111,13 +111,22 @@ def _esc(col: Column) -> Column:
     )
 
 
+def _esc_attr(col: Column) -> Column:
+    """Attribute-value escape: entity escape plus '"' (the attr
+    delimiter).  HTMLParser unescapes attribute values symmetrically,
+    so tokenize(render(docs)) == docs holds for refs containing
+    &, <, >, or '"' — not just clean synthetic ones."""
+    return F.replace(_esc(col), F.lit('"'), F.lit("&quot;"))
+
+
 def _span_markup(sp: Column) -> Column:
     kind, text, ref = sp["kind"], sp["text"], sp["media_ref"]
     esc = _esc(text)
+    eref = _esc_attr(ref)
     # media first (no text content)
-    out = F.when(kind == "image", F.concat(F.lit('<img src="'), ref, F.lit('">')))
+    out = F.when(kind == "image", F.concat(F.lit('<img src="'), eref, F.lit('">')))
     out = out.when(
-        kind == "video", F.concat(F.lit('<video src="'), ref, F.lit('"></video>'))
+        kind == "video", F.concat(F.lit('<video src="'), eref, F.lit('"></video>'))
     )
     for k, (tag, cls) in KIND_MARKUP.items():
         if k == "menu":  # realistic list markup: item inside the list

@@ -105,24 +105,33 @@ def update_columns(
 #
 # Layout (the from-scratch rendition of Iceberg's snapshot mechanism):
 #
-#   table_dir/data/snap-<N>/bucket=<i>/part-*.parquet
-#       data files written BY snapshot N (touched buckets only — COW)
+#   table_dir/data/snap-<N>-<token>/bucket=<i>/part-*.parquet
+#       data files written BY snapshot N (touched buckets only — COW).
+#       <token> is a WRITER-UNIQUE suffix (uuid4), so two racing
+#       writers can never stage into — or clean up — each other's
+#       directories (Iceberg stages data files the same way); the
+#       manifest records the directory NAME per bucket, not a derived
+#       path.
 #   table_dir/metadata/snap-<N>.json
-#       manifest: for every live bucket, WHICH snapshot's data dir
-#       serves it, plus parent pointer and audit counts
+#       manifest: for every live bucket, WHICH data dir serves it,
+#       plus parent pointer and audit counts
 #
 # Commit protocol (write-audit-publish):
-#   1. write the merged touched-bucket data under data/snap-<N>/ —
-#      invisible to readers (no manifest references it yet);
+#   1. write the merged touched-bucket data under the writer-unique
+#      data/snap-<N>-<token>/ — invisible to readers (no manifest
+#      references it yet) and unreachable by concurrent writers;
 #   2. audit (row counts via the Observation API — no re-read);
-#   3. publish: write metadata/.tmp-snap-<N>.json, then RENAME it to
-#      metadata/snap-<N>.json.  Rename-without-overwrite is the one
-#      atomic primitive on HDFS/file:, so the table flips from
-#      snapshot N-1 to N in a single metadata operation across ALL
-#      buckets at once — a kill anywhere before the rename leaves
-#      snapshot N-1 fully readable (orphan data dirs are ignored by
-#      readers and reclaimed by the next writer), and a concurrent
-#      writer that lost the race gets rename()==False -> OCC conflict.
+#   3. publish: write metadata/.tmp-<token>-snap-<N>.json, then
+#      fsutil.publish_file it to metadata/snap-<N>.json — an atomic
+#      create-no-overwrite (POSIX link(2) on file:, HDFS rename
+#      elsewhere), so the table flips from snapshot N-1 to N in a
+#      single metadata operation across ALL buckets at once.  A kill
+#      anywhere before the publish leaves snapshot N-1 fully readable
+#      (orphan staging dirs are ignored by readers and reclaimed by
+#      :func:`remove_orphans`); a concurrent writer that lost the race
+#      gets publish_file()==False -> OCC conflict, and its cleanup
+#      touches ONLY its own token-suffixed staging paths — the
+#      winner's published snapshot is never disturbed.
 #
 # Readers (:func:`read_table`) resolve the CURRENT snapshot by listing
 # metadata/snap-*.json and taking the max id — snapshot-id allocation
@@ -133,6 +142,13 @@ def update_columns(
 
 def _manifest_path(table_dir: str, snap_id: int) -> str:
     return f"{table_dir}/metadata/snap-{snap_id}.json"
+
+
+def _serving_dirname(v) -> str:
+    """Manifest bucket value -> data dir name.  Current manifests store
+    the writer-unique dir name (str); pre-round-5 manifests stored the
+    serving snapshot id (int) whose dir was data/snap-<id>."""
+    return v if isinstance(v, str) else f"snap-{v}"
 
 
 def snapshots(spark: SparkSession, table_dir: str) -> list[int]:
@@ -187,12 +203,12 @@ def read_table(
             __import__("json").loads(man["schema_json"])
         ).add("bucket", T.IntegerType())
         return spark.createDataFrame([], schema)
-    by_serving: dict[int, list[int]] = {}
+    by_serving: dict[str, list[int]] = {}
     for b, serving in man["buckets"].items():
-        by_serving.setdefault(int(serving), []).append(int(b))
+        by_serving.setdefault(_serving_dirname(serving), []).append(int(b))
     parts = []
     for serving, bs in sorted(by_serving.items()):
-        base = f"{table_dir}/data/snap-{serving}"
+        base = f"{table_dir}/data/{serving}"
         parts.append(
             spark.read.option("basePath", base)
             .parquet(*[f"{base}/bucket={b}" for b in sorted(bs)])
@@ -243,22 +259,27 @@ def merge_write(
 
     cur_man = _read_manifest(spark, table_dir, cur_id) if cur_id is not None else None
     new_id = (cur_id + 1) if cur_id is not None else 0
-    data_dir = f"{table_dir}/data/snap-{new_id}"
-    # a crashed writer may have left an unpublished data dir under the
-    # id we are about to use — it was never readable; reclaim it
-    fsutil.delete_dir(spark, data_dir)
-    fsutil.delete_dir(spark, f"{table_dir}/metadata/.tmp-snap-{new_id}.json")
+    # writer-unique staging: racing writers (and leftover dirs from
+    # crashed ones) can never collide, so nothing is pre-deleted here —
+    # unpublished orphans are reclaimed by remove_orphans()
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
+    dirname = f"snap-{new_id}-{token}"
+    data_dir = f"{table_dir}/data/{dirname}"
 
     existing = (
         [b for b in touched if str(b) in cur_man["buckets"]] if cur_man else []
     )
     if existing:
-        by_serving: dict[int, list[int]] = {}
+        by_serving: dict[str, list[int]] = {}
         for b in existing:
-            by_serving.setdefault(int(cur_man["buckets"][str(b)]), []).append(b)
+            by_serving.setdefault(
+                _serving_dirname(cur_man["buckets"][str(b)]), []
+            ).append(b)
         parts = []
         for serving, bs in sorted(by_serving.items()):
-            base = f"{table_dir}/data/snap-{serving}"
+            base = f"{table_dir}/data/{serving}"
             parts.append(
                 spark.read.option("basePath", base)
                 .parquet(*[f"{base}/bucket={b}" for b in sorted(bs)])
@@ -305,7 +326,7 @@ def merge_write(
         if mode == "delete" and not metrics[f"b{b}"]:
             buckets.pop(str(b), None)
         else:
-            buckets[str(b)] = new_id
+            buckets[str(b)] = dirname
     manifest = {
         "snapshot_id": new_id,
         "parent": cur_id,
@@ -319,11 +340,12 @@ def merge_write(
         "schema_json": merged.drop("bucket").schema.json(),
     }
     fsutil.mkdirs(spark, f"{table_dir}/metadata")
-    tmp = f"{table_dir}/metadata/.tmp-snap-{new_id}.json"
+    tmp = f"{table_dir}/metadata/.tmp-{token}-snap-{new_id}.json"
     fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
-    if not fsutil.rename(spark, tmp, _manifest_path(table_dir, new_id)):
-        # another writer published this id first: clean our staging and
-        # surface the optimistic-concurrency conflict
+    if not fsutil.publish_file(spark, tmp, _manifest_path(table_dir, new_id)):
+        # another writer published this id first: clean ONLY our own
+        # token-suffixed staging (never the winner's referenced data)
+        # and surface the optimistic-concurrency conflict
         fsutil.delete_dir(spark, tmp)
         fsutil.delete_dir(spark, data_dir)
         raise RuntimeError(
@@ -346,9 +368,16 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
     if cur_id is None:
         return {"snapshot": None, "rows_written": 0}
     cur_man = _read_manifest(spark, table_dir, cur_id)
+    if not cur_man["buckets"]:
+        # fully-deleted table: nothing to rewrite, and a rewrite would
+        # publish a manifest read_table can only serve via schema_json
+        return {"snapshot": cur_id, "rows_written": 0}
     new_id = cur_id + 1
-    data_dir = f"{table_dir}/data/snap-{new_id}"
-    fsutil.delete_dir(spark, data_dir)
+    import uuid as _uuid
+
+    token = _uuid.uuid4().hex[:12]
+    dirname = f"snap-{new_id}-{token}"
+    data_dir = f"{table_dir}/data/{dirname}"
 
     tbl = read_table(spark, table_dir, snapshot=cur_id)
     from pyspark.sql import Observation
@@ -363,14 +392,18 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
         "parent": cur_id,
         "n_buckets": cur_man.get("n_buckets"),
         "key": cur_man.get("key"),
-        "buckets": {b: new_id for b in cur_man["buckets"]},
+        "buckets": {b: dirname for b in cur_man["buckets"]},
         "touched_buckets": sorted(int(b) for b in cur_man["buckets"]),
         "rows_written": rows_written,
         "compaction": True,
+        # carried forward so a later full-delete snapshot stays readable
+        "schema_json": cur_man.get(
+            "schema_json", tbl.drop("bucket").schema.json()
+        ),
     }
-    tmp = f"{table_dir}/metadata/.tmp-snap-{new_id}.json"
+    tmp = f"{table_dir}/metadata/.tmp-{token}-snap-{new_id}.json"
     fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
-    if not fsutil.rename(spark, tmp, _manifest_path(table_dir, new_id)):
+    if not fsutil.publish_file(spark, tmp, _manifest_path(table_dir, new_id)):
         fsutil.delete_dir(spark, tmp)
         fsutil.delete_dir(spark, data_dir)
         raise RuntimeError(
@@ -386,18 +419,55 @@ def expire_snapshots(
     dir no kept manifest references (Iceberg expire_snapshots).  Data
     dirs referenced by a kept manifest survive even when their own
     manifest expires — time travel shrinks, current reads don't."""
+    if keep_last < 1:
+        # keep_last=0 would expire EVERY manifest and data dir — a
+        # permanently unreadable table; refuse (Iceberg likewise floors
+        # retain-last at 1)
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     ids = snapshots(spark, table_dir)
-    keep = ids[-keep_last:] if keep_last > 0 else []
-    live_data = set()
-    for sid in keep:
+    keep = ids[-keep_last:]
+    live_data: set[str] = set()
+    dropped_refs: set[str] = set()
+    for sid in ids:
         man = _read_manifest(spark, table_dir, sid)
-        live_data.update(int(v) for v in man["buckets"].values())
+        refs = {_serving_dirname(v) for v in man["buckets"].values()}
+        (live_data if sid in keep else dropped_refs).update(refs)
     dropped = []
     for sid in ids:
         if sid in keep:
             continue
         fsutil.delete_dir(spark, _manifest_path(table_dir, sid))
-        if sid not in live_data:
-            fsutil.delete_dir(spark, f"{table_dir}/data/snap-{sid}")
         dropped.append(sid)
+    for name in sorted(dropped_refs - live_data):
+        fsutil.delete_dir(spark, f"{table_dir}/data/{name}")
     return {"dropped": dropped, "kept": keep}
+
+
+def remove_orphans(
+    spark: SparkSession, table_dir: str, min_age_sec: float = 3600.0
+) -> dict:
+    """Delete data dirs no retained manifest references (crashed or
+    OCC-losing writers' staging) — Iceberg's remove_orphan_files.  The
+    age floor keeps an IN-FLIGHT writer's staging safe: a dir younger
+    than ``min_age_sec`` may belong to a merge that has not published
+    yet, so it is skipped (pass 0 only in tests / known-quiesced
+    tables)."""
+    import time
+
+    referenced: set[str] = set()
+    for sid in snapshots(spark, table_dir):
+        man = _read_manifest(spark, table_dir, sid)
+        referenced.update(_serving_dirname(v) for v in man["buckets"].values())
+    fs, data_path = fsutil._fs_and_path(spark, f"{table_dir}/data")
+    removed = []
+    if fs.exists(data_path):
+        now_ms = time.time() * 1000.0
+        for st in fs.listStatus(data_path):
+            name = st.getPath().getName()
+            if name in referenced:
+                continue
+            if now_ms - st.getModificationTime() < min_age_sec * 1000.0:
+                continue
+            fsutil.delete_dir(spark, f"{table_dir}/data/{name}")
+            removed.append(name)
+    return {"removed": sorted(removed)}

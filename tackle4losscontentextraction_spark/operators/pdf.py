@@ -247,7 +247,10 @@ def render_pdf(boxes: DataFrame) -> DataFrame:
     one shuffle, one PDF per doc held in memory at a time."""
     import pandas as pd
 
-    def build(key, pdf_df: "pd.DataFrame") -> "pd.DataFrame":
+    # no annotations: PySpark eval-type inference tries to PARSE them,
+    # and a string hint naming the locally-imported pd fails that parse
+    # (UserWarning + fallback); arity alone selects the (key, pdf) form
+    def build(key, pdf_df):
         rows = sorted(
             zip(pdf_df.box_id, pdf_df.page, pdf_df.x, pdf_df.y,
                 pdf_df.w, pdf_df.h, pdf_df.text),

@@ -142,3 +142,20 @@ def test_extract_composes_on_tokenized_html(spark):
     a = extraction.extract(docs).select("doc_id", "content_type", "content_chars")
     b = extraction.extract(via_html).select("doc_id", "content_type", "content_chars")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_round_trip_hostile_media_refs(spark):
+    """ADVICE r4 #3: refs containing '&', '"', '<', '>' — and the
+    double-escape trap '&amp;' — must survive render -> tokenize
+    (attribute values are entity-escaped on render; HTMLParser
+    unescapes them symmetrically on parse)."""
+    refs = ['u?a=1&b=2', 'u"quoted"', 'u<tag>', 'pre&amp;post', 'plain']
+    rows = [(f"d{i}", [{"kind": "image", "text": "", "media_ref": r,
+                        "offset": 0}]) for i, r in enumerate(refs)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    parsed = ht.tokenize_html(ht.render_html(docs))
+    got = {r.doc_id: r.spans[0].media_ref for r in parsed.collect()}
+    assert got == {f"d{i}": r for i, r in enumerate(refs)}

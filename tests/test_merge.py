@@ -54,10 +54,13 @@ def test_merge_write_bucket_pruning_and_resume(spark, tmp_path):
 
     # record snapshot-0 file sets, then merge a single-bucket source
     def files(snap, b):
-        d = os.path.join(table, "data", f"snap-{snap}", f"bucket={b}")
-        if not os.path.isdir(d):
-            return []
-        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+        # data dirs are writer-unique (snap-<N>-<token>); resolve by id
+        import glob as _glob
+
+        dirs = _glob.glob(os.path.join(table, "data", f"snap-{snap}-*", f"bucket={b}"))
+        return sorted(
+            f for d in dirs for f in os.listdir(d) if f.endswith(".parquet")
+        )
 
     before = {b: files(0, b) for b in range(8)}
     one = spark.createDataFrame(
@@ -131,8 +134,10 @@ def test_merge_write_kill_before_publish_is_invisible(spark, tmp_path, monkeypat
         assert "simulated kill" in str(e)
     monkeypatch.setattr(merge_ops.fsutil, "write_text", real_write_text)
 
-    # the orphan snap-1 data dir exists on disk but readers never see it
-    assert os.path.isdir(os.path.join(table, "data", "snap-1"))
+    # the orphan snap-1 staging dir exists on disk but readers never see it
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(table, "data", "snap-1-*"))
     assert merge_ops.current_snapshot_id(spark, table) == 0
     rows = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
     assert len(rows) == 200
@@ -246,14 +251,17 @@ def test_compact_collapses_serving_snapshots(spark, tmp_path):
         )
     man_before = merge_ops._read_manifest(
         spark, table, merge_ops.current_snapshot_id(spark, table))
-    assert len({int(s) for s in man_before["buckets"].values()}) > 1
+    assert len(set(man_before["buckets"].values())) > 1
 
     before = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
     res = merge_ops.compact(spark, table)
     assert res["rows_written"] == 80
     man = merge_ops._read_manifest(
         spark, table, merge_ops.current_snapshot_id(spark, table))
-    assert {int(s) for s in man["buckets"].values()} == {res["snapshot"]}
+    # every live bucket now served by the single compaction staging dir
+    served = set(man["buckets"].values())
+    assert len(served) == 1
+    assert next(iter(served)).startswith(f"snap-{res['snapshot']}-")
     after = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
     assert after == before
     # pre-compaction snapshot still time-travels
@@ -297,3 +305,128 @@ def test_merge_write_delete_mode(spark, tmp_path):
     res3 = merge_ops.merge_write(spark, table, ghost, n_buckets=4,
                                  mode="delete")
     assert res3["rows_written"] == 0
+
+
+def test_merge_write_concurrent_writers_occ(spark, tmp_path, monkeypatch):
+    """Two racing writers on one table (ADVICE r4 #1): the loser raises
+    the OCC conflict, the winner's published snapshot is untouched (its
+    data dir and manifest survive the loser's cleanup), and the loser's
+    retry lands as the next snapshot id."""
+    import glob
+
+    table = str(tmp_path / "occ_table")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("v0").alias("text"))
+    merge_ops.merge_write(spark, table, base, n_buckets=4)
+
+    src_a = spark.createDataFrame([(5, "writer-a")], "doc_id bigint, text string")
+    src_b = spark.createDataFrame([(5, "writer-b")], "doc_id bigint, text string")
+
+    real_publish = merge_ops.fsutil.publish_file
+    state = {"injected": False}
+
+    def racing_publish(spark_, src, dst):
+        # writer B commits in the window between writer A's staging
+        # write and A's manifest publish — the classic OCC interleave
+        if not state["injected"]:
+            state["injected"] = True
+            monkeypatch.setattr(merge_ops.fsutil, "publish_file", real_publish)
+            try:
+                merge_ops.merge_write(spark_, table, src_b, n_buckets=4)
+            finally:
+                monkeypatch.setattr(merge_ops.fsutil, "publish_file", racing_publish)
+        return real_publish(spark_, src, dst)
+
+    monkeypatch.setattr(merge_ops.fsutil, "publish_file", racing_publish)
+    try:
+        merge_ops.merge_write(spark, table, src_a, n_buckets=4)
+        raise AssertionError("loser must surface the OCC conflict")
+    except RuntimeError as e:
+        assert "published concurrently" in str(e)
+    monkeypatch.setattr(merge_ops.fsutil, "publish_file", real_publish)
+
+    # winner's snapshot is current and intact — content, manifest, data
+    assert merge_ops.current_snapshot_id(spark, table) == 1
+    rows = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert rows[5] == "writer-b" and len(rows) == 100
+    # the loser cleaned ONLY its own token-suffixed staging: exactly one
+    # snap-1-* dir remains, and it is the one the manifest references
+    man = merge_ops._read_manifest(spark, table, 1)
+    snap1_dirs = {d.split("/")[-1]
+                  for d in glob.glob(str(tmp_path / "occ_table/data/snap-1-*"))}
+    assert snap1_dirs == set(man["buckets"].values()) - {
+        v for v in man["buckets"].values() if v.startswith("snap-0-")}
+
+    # the loser retries against the committed snapshot and wins id 2
+    res = merge_ops.merge_write(spark, table, src_a, n_buckets=4)
+    assert res["snapshot"] == 2
+    rows = {r.doc_id: r.text for r in merge_ops.read_table(spark, table).collect()}
+    assert rows[5] == "writer-a" and len(rows) == 100
+
+
+def test_publish_file_create_no_overwrite(spark, tmp_path):
+    """publish_file is the atomic commit primitive: first publisher
+    wins, second gets False (not an overwrite), content is complete."""
+    from tackle4losscontentextraction_spark import fsutil
+
+    dst = str(tmp_path / "marker")
+    a, b = str(tmp_path / ".tmp-a"), str(tmp_path / ".tmp-b")
+    fsutil.write_text(spark, a, "writer-a")
+    fsutil.write_text(spark, b, "writer-b")
+    assert fsutil.publish_file(spark, a, dst) is True
+    assert fsutil.read_text(spark, dst) == "writer-a"
+    assert fsutil.publish_file(spark, b, dst) is False
+    assert fsutil.read_text(spark, dst) == "writer-a"
+
+
+def test_remove_orphans_reclaims_unpublished_staging(spark, tmp_path, monkeypatch):
+    """A killed writer's staging dir is reclaimed by remove_orphans
+    while every manifest-referenced data dir survives (Iceberg's
+    remove_orphan_files semantics); the age floor protects in-flight
+    staging."""
+    import glob
+
+    table = str(tmp_path / "orph_table")
+    base = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"), F.lit("v0").alias("text"))
+    merge_ops.merge_write(spark, table, base, n_buckets=4)
+
+    # kill a writer between data write and manifest publish
+    real_write_text = merge_ops.fsutil.write_text
+
+    def killed(spark_, path, text):
+        raise RuntimeError("simulated kill")
+
+    monkeypatch.setattr(merge_ops.fsutil, "write_text", killed)
+    try:
+        merge_ops.merge_write(
+            spark, table,
+            spark.createDataFrame([(1, "x")], "doc_id bigint, text string"),
+            n_buckets=4)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(merge_ops.fsutil, "write_text", real_write_text)
+    assert glob.glob(str(tmp_path / "orph_table/data/snap-1-*"))
+
+    # default age floor protects the fresh (possibly in-flight) staging
+    assert merge_ops.remove_orphans(spark, table)["removed"] == []
+    res = merge_ops.remove_orphans(spark, table, min_age_sec=0)
+    assert len(res["removed"]) == 1 and res["removed"][0].startswith("snap-1-")
+    assert not glob.glob(str(tmp_path / "orph_table/data/snap-1-*"))
+    assert merge_ops.read_table(spark, table).count() == 60
+
+
+def test_expire_refuses_keep_last_zero(spark, tmp_path):
+    """keep_last<1 would delete every manifest and data dir — the
+    library refuses (ADVICE r4 #5) and the table stays readable."""
+    import pytest
+
+    table = str(tmp_path / "exp_table")
+    base = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    merge_ops.merge_write(spark, table, base, n_buckets=2)
+    with pytest.raises(ValueError, match="keep_last"):
+        merge_ops.expire_snapshots(spark, table, keep_last=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        merge_ops.expire_snapshots(spark, table, keep_last=-3)
+    assert merge_ops.read_table(spark, table).count() == 10
