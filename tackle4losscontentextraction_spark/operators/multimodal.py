@@ -6,7 +6,12 @@ Decode kernels, per mime:
 - ``image/bmp`` — REAL decode (operators/bmp.py): header parse,
   bottom-up BGR row extraction, pixel-derived features, numpy resize.
   No image library needed; malformed payloads yield ok=false rows.
-- compressed mimes (jpeg/mp4) — deterministic hash STAND-IN
+- ``image/png`` — REAL decode (operators/png.py): chunk walk with CRC
+  checks, stdlib zlib inflate, all five scanline filters unfiltered
+  (None/Sub/Up/Average/Paeth) — a genuinely COMPRESSED mime through
+  real pixels; features shared with BMP (a property of the pixels,
+  not the container).
+- remaining compressed mimes (jpeg/mp4) — deterministic hash STAND-IN
   (``_fake_decode``): the codecs are not in this container, so the
   kernel is faked while the Spark-side plumbing — schema, batch shape,
   partitioning, UDF signature — stays real and tested; swap PIL/ffmpeg
@@ -71,15 +76,17 @@ def _fake_decode(payload: bytes | None) -> list[float]:
 def decode_image_batch(media: DataFrame, partitions: int | None = None) -> DataFrame:
     """mapInPandas decode: (media_id, feature array<float>, ok bool).
 
-    Dispatches on mime: ``image/bmp`` runs the real pixel kernel
-    (decode + feature extraction, malformed -> ok=false); compressed
-    mimes run the documented hash stand-in. The Arrow batch shape and
-    output schema are what a PIL/ffmpeg swap-in keeps."""
+    Dispatches on mime: ``image/bmp`` and ``image/png`` run the real
+    pixel kernels (decode + shared feature extraction, malformed ->
+    ok=false); the remaining compressed mimes run the documented hash
+    stand-in. The Arrow batch shape and output schema are what a
+    PIL/ffmpeg swap-in keeps."""
     out_schema = "media_id string, feature array<double>, ok boolean"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import bmp
+        from . import bmp, png
 
+        decoders = {"image/bmp": bmp.decode_bmp, "image/png": png.decode_png}
         for pdf in batches:
             feats, oks = [], []
             for payload, kind, mime in zip(
@@ -89,9 +96,9 @@ def decode_image_batch(media: DataFrame, partitions: int | None = None) -> DataF
                     feats.append(None)
                     oks.append(False)
                     continue
-                if mime == "image/bmp":
+                if mime in decoders:
                     try:
-                        feats.append(bmp.bmp_features(bmp.decode_bmp(payload)))
+                        feats.append(bmp.bmp_features(decoders[mime](payload)))
                         oks.append(True)
                     except ValueError:
                         feats.append(None)
@@ -163,23 +170,31 @@ def sample_frames_batch(
 def resize_image_batch(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize: binary -> binary Pandas UDF keeping the media schema
     (payload replaced, width/height metadata updated) — the in-place
-    transform shape of a PIL thumbnail kernel. ``image/bmp`` payloads
-    get a REAL nearest-neighbor resample (decode -> index-math resize
-    -> re-encode); undecodable BMPs pass through unchanged. Compressed
-    mimes keep the md5 stand-in payload: deterministic, size-dependent."""
+    transform shape of a PIL thumbnail kernel. ``image/bmp`` and
+    ``image/png`` payloads get a REAL nearest-neighbor resample
+    (decode -> index-math resize -> re-encode in the same container);
+    undecodable payloads pass through unchanged. The remaining
+    compressed mimes keep the md5 stand-in payload: deterministic,
+    size-dependent."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        from . import bmp
+        from . import bmp, png
+
+        codecs = {
+            "image/bmp": (bmp.decode_bmp, bmp.encode_bmp),
+            "image/png": (png.decode_png, png.encode_png),
+        }
 
         def one(payload, kind, mime):
             if kind != "image":
                 return payload, False
-            if mime == "image/bmp":
+            if mime in codecs:
+                dec, enc = codecs[mime]
                 try:
-                    px = bmp.resize_nearest(bmp.decode_bmp(payload), width, height)
-                    return bmp.encode_bmp(px), True
+                    px = bmp.resize_nearest(dec(payload), width, height)
+                    return enc(px), True
                 except ValueError:
                     return payload, False
             return hashlib.md5((payload or b"") + f"{width}x{height}".encode()).digest(), True
@@ -199,16 +214,17 @@ def resize_image_batch(media: DataFrame, width: int = 32, height: int = 32) -> D
 
 
 def synth_bmp_payloads(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Upgrade image rows to REAL encoded BMPs of the closed-form test
-    pattern (bmp.synth_pattern, seed = (doc_int * 31 + offset * 7) %
-    256 derived from media_id 'd%08d#offset'); mime -> image/bmp.
-    Non-image rows pass through. The DuckDB oracle computes the same
+    """Upgrade image rows to REAL encoded rasters of the closed-form
+    test pattern (bmp.synth_pattern, seed = (doc_int * 31 + offset * 7)
+    % 256 derived from media_id 'd%08d#offset'). Even seeds encode as
+    BMP, odd seeds as PNG (adaptive-filtered DEFLATE) — both real
+    kernels run on every corpus, and because the DuckDB oracle computes
     features analytically from (seed, w, h) without ever seeing bytes,
-    so a downstream decode hash-match proves the encode -> decode
-    round trip."""
+    the SAME oracle proves BOTH encode -> decode round trips.
+    Non-image rows pass through."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from . import bmp
+        from . import bmp, png
 
         for pdf in batches:
             pays, mimes, ws, hs = [], [], [], []
@@ -219,8 +235,13 @@ def synth_bmp_payloads(media: DataFrame, width: int = 16, height: int = 16) -> D
                 if kind == "image":
                     did, off = mid.split("#")
                     seed = (int(did[1:]) * 31 + int(off) * 7) % 256
-                    pays.append(bmp.encode_bmp(bmp.synth_pattern(width, height, seed)))
-                    mimes.append("image/bmp")
+                    px = bmp.synth_pattern(width, height, seed)
+                    if seed % 2:
+                        pays.append(png.encode_png(px))
+                        mimes.append("image/png")
+                    else:
+                        pays.append(bmp.encode_bmp(px))
+                        mimes.append("image/bmp")
                     ws.append(width)
                     hs.append(height)
                 else:

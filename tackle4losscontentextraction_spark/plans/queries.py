@@ -917,11 +917,12 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode end-to-end: media spans -> typed media table
     (binary payload column) -> Arrow mapInPandas decode -> feature
-    vectors. Image rows carry REAL encoded BMPs of the closed-form test
-    pattern and run the real pixel kernel (operators/bmp.py: header
-    parse -> pixel extraction -> features); the oracle computes those
+    vectors. Image rows carry REAL encoded rasters of the closed-form
+    test pattern — even seeds BMP (operators/bmp.py), odd seeds PNG
+    (operators/png.py: CRC-checked chunk walk, zlib inflate, scanline
+    unfilter) — and run the real pixel kernels; the oracle computes the
     features analytically without ever seeing bytes, so the hash match
-    proves the encode -> decode round trip. Video rows keep the
+    proves BOTH encode -> decode round trips. Video rows keep the
     documented hash stand-in (no mp4 codec in this container)."""
     from ..operators import multimodal
 
