@@ -17,7 +17,7 @@ fit inside a single quiet window on this shared box (~3-6 min), it is
 the unit the background harvester schedules when load drops.
 
 Round-4 evidence modes (each writes its own BENCH/*.json):
-`--bpe`        1200-rule BPE encode vs the regex counter (task 4)
+`--bpe`        1200-rule + 10k byte-level BPE encode vs the regex counter
 `--recall`     ANN recall@k + speedup: IVF nprobe sweep, sign-LSH (task 6)
 `--skew`       salted vs plain agg/join on a Zipf domain corpus (task 7)
 `--streaming`  micro-batch throughput + dedup state plateau (task 8)
@@ -684,7 +684,9 @@ def run_bpe_bench(n_docs: int = 600_000) -> None:
 
       - regex:        token_count_bpe_regex (one regexp_count pass)
       - bpe66_jvm:    66-rule chained-replace Catalyst fold
-      - bpe1k_arrow:  1200-rule Arrow word-cache encode (production)
+      - bpe1k_arrow:  1200-rule Arrow word-cache encode
+      - bpe10k_bytes_arrow: >=10k-merge BYTE-level Arrow encode with
+        the tiktoken-shaped pre-tokenizer (production)
       - bpe1k_jvm_30k: 1200-rule Catalyst HOF fold on a 30k slice —
         the O(rules x len) per-row cost that motivates the Arrow path
 
@@ -730,15 +732,23 @@ def run_bpe_bench(n_docs: int = 600_000) -> None:
 
     out: dict = {"n_docs": n_docs, "n_words_zipf": int(n_words), "cpus": CPUS,
                  "vocab_size": len(BPE_MERGES_1K), "corpora": {}}
+    from tackle4losscontentextraction_spark.functions.bpe_vocab_bytes import (
+        BPE_MERGES_BYTES,
+    )
+
+    out["vocab_size_bytes"] = len(BPE_MERGES_BYTES)
     for cname, df in (("zipf", zipf), ("stress_suffixed", stress)):
         t_regex = timed(df, tok.token_count_bpe_regex(F.col("text")))
         t_66 = timed(df, tok.token_count_bpe(F.col("text")))
         t_1k = timed(df, tok.token_count_bpe_arrow(F.col("text")))
+        t_10k = timed(df, tok.token_count_bpe_bytes_arrow(F.col("text")))
         out["corpora"][cname] = {
             "regex_sec": t_regex,
             "bpe66_jvm_sec": t_66,
             "bpe1k_arrow_sec": t_1k,
+            "bpe10k_bytes_arrow_sec": t_10k,
             "bpe1k_vs_regex": round(t_1k / t_regex, 2),
+            "bpe10k_vs_regex": round(t_10k / t_regex, 2),
             "load_1min": _load1(),
         }
     # the motivating counterfactual, on a slice (O(rules x len)/row)
@@ -755,15 +765,20 @@ def run_bpe_bench(n_docs: int = 600_000) -> None:
     try:
         with open(path) as f:
             prior = json.load(f)
-        if prior.get("vocab_size") == out["vocab_size"] and prior.get("n_docs") == n_docs:
+        if (prior.get("vocab_size") == out["vocab_size"]
+                and prior.get("vocab_size_bytes") == out["vocab_size_bytes"]
+                and prior.get("n_docs") == n_docs):
             for cname, cur in out["corpora"].items():
                 old = prior.get("corpora", {}).get(cname)
                 if old:
-                    for k in ("regex_sec", "bpe66_jvm_sec", "bpe1k_arrow_sec"):
-                        if old.get(k, 1e18) < cur[k]:
+                    for k in ("regex_sec", "bpe66_jvm_sec", "bpe1k_arrow_sec",
+                              "bpe10k_bytes_arrow_sec"):
+                        if k in cur and old.get(k, 1e18) < cur[k]:
                             cur[k] = old[k]
                     cur["bpe1k_vs_regex"] = round(
                         cur["bpe1k_arrow_sec"] / cur["regex_sec"], 2)
+                    cur["bpe10k_vs_regex"] = round(
+                        cur["bpe10k_bytes_arrow_sec"] / cur["regex_sec"], 2)
             if prior.get("bpe1k_jvm_30k_sec", 1e18) < out["bpe1k_jvm_30k_sec"]:
                 out["bpe1k_jvm_30k_sec"] = prior["bpe1k_jvm_30k_sec"]
                 out["bpe1k_jvm_projected_600k_sec"] = prior.get(

@@ -35,3 +35,16 @@ def deterministic_uuid(name: Column) -> Column:
         F.concat(variant, F.substring(h, 18, 3)),
         F.substring(h, 21, 12),
     )
+
+
+def deterministic_uuid_py(name: str) -> str:
+    """Pure-Python twin of :func:`deterministic_uuid` (same md5 relay,
+    version nibble, variant bits) — for driver-side kernels like the
+    sequential clustering replay, where ids are minted outside a plan."""
+    import hashlib
+
+    h = hashlib.md5(name.encode("utf-8")).hexdigest()
+    variant = format(int(h[16], 16) % 4 + 8, "x")
+    return (
+        f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}-{h[20:32]}"
+    )

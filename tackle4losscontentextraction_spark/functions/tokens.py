@@ -271,3 +271,107 @@ def chunk_text_by_tokens(col: Column, max_tokens: int) -> Column:
             F.slice(words, i * max_tokens + 1, max_tokens), " "
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE (round 5): tiktoken-faithful alphabet + pre-tokenizer
+# ---------------------------------------------------------------------------
+
+# category-run pre-tokenizer, the regex-split shape of tiktoken's GPT-2
+# pattern (letters / digits / other split apart so merges never bridge
+# categories).  CASE-SENSITIVE — byte-level BPE is defined over raw
+# UTF-8 bytes and tiktoken never case-folds (the word-level table above
+# keeps its historical lowercased contract).
+import re as _re_mod
+
+_PRETOK_BYTES = _re_mod.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9]+")
+
+
+def _norm_bytes(text: str) -> str:
+    """ASCII-pinned whitespace collapse, NO case fold (see module doc
+    of bpe_vocab_bytes; same \\s semantics as Java/RE2)."""
+    return _re_mod.sub(r"[ \t\n\x0b\f\r]+", " ",
+                       text.strip(" \t\n\x0b\f\r"))
+
+
+def _hex_syms(pretok: str) -> list[str]:
+    """Pre-token -> its UTF-8 bytes as uppercase hex pairs — the exact
+    representation DuckDB's hex(encode(pt)) produces, so the SQL oracle
+    folds literally the same strings."""
+    hx = pretok.encode("utf-8").hex().upper()
+    return [hx[i:i + 2] for i in range(0, len(hx), 2)]
+
+
+def bpe_bytes_tokens_py(text: str, merges: list[tuple[str, str]] | None = None) -> int:
+    """Slow fold twin of the byte-level count (property tests): per
+    pre-token, rank-ordered left-to-right replace fold over delimited
+    hex-pair symbols — str.replace, like :func:`bpe_tokens_py`."""
+    if merges is None:
+        from .bpe_vocab_bytes import BPE_MERGES_BYTES
+
+        merges = BPE_MERGES_BYTES
+    norm = _norm_bytes(text)
+    total = 0
+    for w in norm.split(" "):
+        for pt in _PRETOK_BYTES.findall(w):
+            s = "".join(_D + h + _D for h in _hex_syms(pt))
+            for a, b in merges:
+                s = s.replace(f"{_D}{a}{_D}{_D}{b}{_D}", f"{_D}{a}{b}{_D}")
+            total += s.count(_D) // 2
+    return total
+
+
+def bpe_bytes_tokens_py_fast(text: str, merges: list[tuple[str, str]],
+                             rank_of: dict[tuple[str, str], int],
+                             cache: dict[str, int]) -> int:
+    """Fast twin: per-PRE-TOKEN heap encode (:func:`_encode_word_ntok`
+    runs unchanged over hex-pair symbol lists) with a memo — merges
+    never cross pre-token boundaries, so the doc count is the sum of
+    pre-token counts and Zipf reuse makes the cache hit rate ~1."""
+    norm = _norm_bytes(text)
+    if not norm:
+        return 0
+    total = 0
+    for w in norm.split(" "):
+        for pt in _PRETOK_BYTES.findall(w):
+            n = cache.get(pt)
+            if n is None:
+                n = _encode_word_ntok(_hex_syms(pt), merges, rank_of)
+                if len(cache) > 2_000_000:
+                    cache.clear()
+                cache[pt] = n
+            total += n
+    return total
+
+
+def token_count_bpe_bytes_arrow(col: Column, merges: list[tuple[str, str]] | None = None) -> Column:
+    """Arrow-vectorized BYTE-level BPE token count with the learned
+    >=10k-merge vocab (functions/bpe_vocab_bytes.py) — the
+    tiktoken-shaped production encoder (byte alphabet + regex
+    pre-tokenizer + big learned vocab; ref extractContent.py:120-125).
+    Exactly fold-equivalent to :func:`bpe_bytes_tokens_py`
+    (property-tested); per-worker pre-token memo persists across Arrow
+    batches."""
+    from pyspark.sql.functions import pandas_udf
+
+    if merges is None:
+        from .bpe_vocab_bytes import BPE_MERGES_BYTES
+
+        merges = BPE_MERGES_BYTES
+    rank_of = {p: i for i, p in enumerate(merges)}
+    cache: dict[str, int] = {}
+
+    @pandas_udf("long")
+    def _count(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series(
+            [
+                None if t is None
+                else bpe_bytes_tokens_py_fast(t, merges, rank_of, cache)
+                for t in s
+            ],
+            dtype="Int64",
+        )
+
+    return _count(col)

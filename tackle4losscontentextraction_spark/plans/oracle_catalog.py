@@ -1028,14 +1028,15 @@ from ..functions.tokens import BPE_MERGES as _BPE_MERGES
 _BD = "\x01"
 
 
-def _bpe_word_ctes(merges, prefix: str, chunk: int = 60) -> tuple[str, str]:
+def _bpe_word_ctes(merges, prefix: str, chunk: int = 60,
+                   src: str = "uw", key: str = "w") -> tuple[str, str]:
     """(cte_sql, final_cte_name) folding the rule table over the
-    distinct-word CTE ``uw(w, s)``'s delimited symbol column s."""
+    distinct-word CTE ``src(key, s)``'s delimited symbol column s."""
 
     def q(t: str) -> str:
         return t.replace("'", "''")
 
-    ctes, prev = [], "uw"
+    ctes, prev = [], src
     for gi in range(0, len(merges), chunk):
         expr = "s"
         for a, b in merges[gi : gi + chunk]:
@@ -1044,7 +1045,7 @@ def _bpe_word_ctes(merges, prefix: str, chunk: int = 60) -> tuple[str, str]:
                 f" '{_BD}{q(a + b)}{_BD}')"
             )
         name = f"{prefix}{gi // chunk}"
-        ctes.append(f"{name} AS (SELECT w, {expr} AS s FROM {prev})")
+        ctes.append(f"{name} AS (SELECT {key}, {expr} AS s FROM {prev})")
         prev = name
     return ",\n".join(ctes), prev
 
@@ -1052,8 +1053,50 @@ def _bpe_word_ctes(merges, prefix: str, chunk: int = 60) -> tuple[str, str]:
 _g_ctes, _g_last = _bpe_word_ctes(_M1K, "g")
 _h_ctes, _h_last = _bpe_word_ctes(_BPE_MERGES, "h")
 
+# BYTE-level vocab (>=10k learned merges, functions/bpe_vocab_bytes.py):
+# symbols are UTF-8 bytes as the uppercase hex pairs hex(encode(pt))
+# yields, folded per DISTINCT PRE-TOKEN (case-sensitive category runs
+# [a-zA-Z]+|[0-9]+|other — merges never cross a pre-token boundary, so
+# a word's count is the sum over its pre-tokens, a doc's the sum over
+# its words).
+from ..functions.bpe_vocab_bytes import BPE_MERGES_BYTES as _MBYTES
+
+_k_ctes, _k_last = _bpe_word_ctes(_MBYTES, "k", src="upt", key="pt")
+
 ORACLES["token_count_bpe"] = f"""
-WITH n AS (
+WITH nb AS (
+  SELECT doc_id::BIGINT AS doc_id,
+         regexp_replace(trim(text), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+bw AS (
+  SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM nb
+),
+bpt AS (
+  SELECT w, unnest(regexp_extract_all(w,
+         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9]+')) AS pt
+  FROM (SELECT DISTINCT w FROM bw WHERE w <> '')
+),
+upt AS (
+  SELECT pt, regexp_replace(hex(encode(pt)), '(..)', '{_BD}\\1{_BD}', 'g') AS s
+  FROM (SELECT DISTINCT pt FROM bpt)
+),
+{_k_ctes},
+ptok AS (
+  SELECT pt,
+         ((length(s) - length(replace(s, '{_BD}', ''))) // 2)::BIGINT AS ntok
+  FROM {_k_last}
+),
+wtokb AS (
+  SELECT bpt.w, sum(ptok.ntok) AS ntok
+  FROM bpt JOIN ptok USING (pt) GROUP BY bpt.w
+),
+cb AS (
+  SELECT bw.doc_id, sum(wtokb.ntok) AS n_10k
+  FROM bw JOIN wtokb ON bw.w = wtokb.w
+  GROUP BY bw.doc_id
+),
+n AS (
   SELECT doc_id::BIGINT AS doc_id,
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
@@ -1082,9 +1125,11 @@ c AS (
 SELECT n.doc_id,
        COALESCE(c.n_66, 0)::BIGINT AS n_bpe,
        COALESCE(c.n_1k, 0)::BIGINT AS n_bpe_1k,
+       COALESCE(cb.n_10k, 0)::BIGINT AS n_bpe_10k,
        (CASE WHEN trim(norm) = '' THEN 0
              ELSE len(string_split_regex(trim(norm), '\\s+')) END)::BIGINT AS n_ws
 FROM n LEFT JOIN c ON n.doc_id = c.doc_id
+LEFT JOIN cb ON n.doc_id = cb.doc_id
 """
 
 # round 4: raw-HTML DOM tokenizer round trip. The oracle never sees

@@ -1124,14 +1124,18 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables (ref tiktoken at extractContent.py:120-125) alongside the
     whitespace count.  ``n_bpe`` folds the 66-rule table JVM-side
     (chained replace); ``n_bpe_1k`` encodes against the LEARNED
-    1200-rule vocab (functions/bpe_vocab.py) through the Arrow
-    word-cache path — the production-size encode, oracle-gated against
-    a DuckDB staged-replace fold of the same table."""
+    1200-rule word-level vocab (functions/bpe_vocab.py) through the
+    Arrow word-cache path; ``n_bpe_10k`` is the tiktoken-shaped
+    production encoder — BYTE-level alphabet, case-sensitive category
+    pre-tokenizer, >=10k learned merges (functions/bpe_vocab_bytes.py)
+    — oracle-gated against a DuckDB staged-replace fold over
+    hex(encode(pre_token)) of the same table."""
     d = _tp(spark, sf_dir, "documents")
     return d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         tok_fn.token_count_bpe(F.col("text")).alias("n_bpe"),
         tok_fn.token_count_bpe_arrow(F.col("text")).alias("n_bpe_1k"),
+        tok_fn.token_count_bpe_bytes_arrow(F.col("text")).alias("n_bpe_10k"),
         tok_fn.token_count_ws(F.col("text")).cast("bigint").alias("n_ws"),
     )
 
