@@ -95,22 +95,22 @@ def main() -> int:
     result = {"method": args.method, "pairs": pairs.count(), "out": args.out}
 
     if args.keep:
-        # survivor rule: drop the larger id of every dup pair (single
-        # anti-join — transitive chains collapse because every non-min
-        # member of a chain loses at least one pair)
+        # survivor rule: exactly ONE survivor (smallest id) per
+        # connected component of the dup graph — union-find closure via
+        # dedup.connected_components (a per-pair drop-the-max shortcut
+        # keeps extra survivors in components like {(1,3),(2,3)})
         if args.method == "exact":
-            # groups are (dup_key, n_docs, keeper): re-derive each
-            # doc's key and drop every non-keeper group member
+            # groups are (dup_key, n_docs, keeper): cliques, so the
+            # per-group keeper IS the component survivor already
             keyed = docs.select(
                 F.col(idc),
                 dedup.exact_dup_key(F.col(args.text_col)).alias("dup_key"))
             drop = (keyed.join(pairs.where(F.col("n_docs") > 1), "dup_key")
                     .where(F.col(idc) != F.col("keeper"))
                     .select(idc))
+            kept = docs.join(drop, idc, "left_anti")
         else:
-            drop = pairs.select(
-                F.greatest("id_a", "id_b").alias(idc)).distinct()
-        kept = docs.join(drop, idc, "left_anti")
+            kept = dedup.keep_survivors(docs, pairs, id_col=idc)
         kept.write.mode("overwrite").parquet(args.keep)
         result["kept"] = spark.read.parquet(args.keep).count()
         result["dropped"] = docs.count() - result["kept"]

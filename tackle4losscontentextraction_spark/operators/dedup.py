@@ -511,3 +511,81 @@ def embedding_near_duplicates(
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship: connected components over the candidate-pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, comp) for every node in the pair graph, comp = the
+    SMALLEST id reachable from it — the union-find closure the keep
+    rule needs (a per-pair drop-the-max rule keeps >1 survivor in any
+    component whose max-free nodes exceed one, e.g. {(1,3),(2,3)}).
+
+    Min-label propagation: labels start as self, each pass takes the
+    min over neighbors, until a fixpoint (checkpointed per pass so the
+    plan stays flat).  Scale note: dup components are SMALL by
+    construction — every candidate generator caps its bucket fan-out
+    (minhash/jaccard df-guards, simhash pigeonhole, sign-LSH bucket
+    cap), so component diameter (= pass count) is bounded and each
+    pass is one shuffle of the edge list; this is the standard
+    iterate-until-converged CC on the pair graph, not on the corpus.
+    Raises if max_iters passes don't converge (pathological chain)."""
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("node", "dst")
+                       .withColumnRenamed("comp", "dst_comp"), "dst")
+            .groupBy("src").agg(F.min("dst_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} passes"
+    )
+
+
+def keep_survivors(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Deduplicated corpus: exactly ONE survivor per connected
+    component of the pair graph — the smallest id (deterministic,
+    replay-stable) — and every unpaired doc kept untouched."""
+    comps = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = comps.where(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
