@@ -39,20 +39,26 @@ def _sign(h: Column) -> Column:
 
 
 def hash_embed(text: Column, dim: int = DEFAULT_DIM) -> Column:
-    """array<double> hashed-token embedding, L2-normalized."""
+    """array<double> hashed-token embedding, L2-normalized.
+
+    Single fold over the token list with a dim-long array accumulator:
+    md5 runs ONCE per token.  (The first version transposed the loops —
+    transform over positions, aggregate over tokens inside — which
+    re-evaluated the md5 contribution list per position, dim×, and
+    worse, inlined the INPUT expression dim× too: hash_embed over a
+    derived column like main_content(extracted) ballooned from seconds
+    to unbounded.  Values are unchanged: per bucket the signs still
+    add in token order, and ±1.0 sums are exact in doubles.)"""
     tokens = F.array_distinct(F.split(F.lower(F.trim(text)), r"\s+"))
     hashes = F.transform(tokens, lambda t: F.md5(t))
     contribs = F.transform(
         hashes, lambda h: F.struct(_bucket(h, dim).alias("b"), _sign(h).alias("s"))
     )
-    # fold contributions into a dense dim-vector: per position, sum the
-    # signs of tokens hashing there (per-row, no shuffle)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            contribs,
-            F.lit(0.0),
-            lambda acc, c: acc + F.when(c["b"] == j.cast("bigint"), c["s"]).otherwise(F.lit(0.0)),
+    vec = F.aggregate(
+        contribs,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, c: F.transform(
+            acc, lambda v, j: v + F.when(c["b"] == j.cast("bigint"), c["s"]).otherwise(F.lit(0.0))
         ),
     )
     return vec_fn.l2_normalize(vec)

@@ -43,11 +43,36 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def bind_once(col: Column, f) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``f`` as a higher-order-
+    function lambda variable.  Column expressions have no let-binding:
+    referencing the same Column twice inlines (and re-executes) its
+    whole tree at every site — and a reference from inside a transform
+    lambda re-executes it PER ELEMENT.  A lambda variable, by contrast,
+    is a materialized value.  ``transform(array(col), f)[0]`` is that
+    let-binding: one wrapper array per row buys expression-DAG sharing
+    Catalyst doesn't otherwise provide (CollapseProject/codegen do no
+    runtime CSE inside HOF lambdas — same economics as barrier.py, but
+    at expression rather than plan granularity)."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def l2_normalize(a: Column) -> Column:
-    """v / ||v||; zero vector returned unchanged (create_embeddings.py:98-115)."""
-    n = l2_norm(a)
-    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
-        F.transform(a, lambda x: x / n)
+    """v / ||v||; zero vector returned unchanged (create_embeddings.py:98-115).
+
+    ``a`` is bound once (see bind_once): when the input is a derived
+    expression (hash_embed's fold, a HOF chain), the naive form
+    re-evaluated it per output element via the norm inside the divide
+    lambda — O(dim²·cost(a)) — which turned the pipeline's embed stage
+    from seconds into a hang at 30k docs."""
+    return bind_once(
+        a,
+        lambda v: bind_once(
+            l2_norm(v),
+            lambda n: F.when(n == 0.0, v.cast("array<double>")).otherwise(
+                F.transform(v, lambda x: x / n)
+            ),
+        ),
     )
 
 
