@@ -59,6 +59,10 @@ def main() -> int:
                     help="use the mapInPandas extraction path")
     ap.add_argument("--html", action="store_true",
                     help="input is raw HTML (doc_id, url, lang, html)")
+    ap.add_argument("--spans", action="store_true",
+                    help="input is already span-shaped (doc_id, url, "
+                         "lang, spans) — the pipeline's native table "
+                         "layout; skip the documents->spans synthesis")
     ap.add_argument("--cluster", action="store_true",
                     help="also run incremental clustering on new embeddings")
     ap.add_argument("--dim", type=int, default=64, help="embedding dim")
@@ -90,6 +94,8 @@ def main() -> int:
 
         docs = html_tokenize.tokenize_html(raw).join(
             raw.select("doc_id", "url", "lang"), "doc_id")
+    elif args.spans:
+        docs = raw.select("doc_id", "url", "lang", "spans")
     else:
         docs = synth.docs_from_documents(raw)
     transform = extraction_arrow.extract_arrow if args.arrow else extraction.extract

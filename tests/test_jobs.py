@@ -123,6 +123,27 @@ def test_run_extraction_html_mode(tmp_path, spark):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_run_pipeline_spans_mode(tmp_path, spark):
+    """--spans consumes the engine's native table layout (doc_id, url,
+    lang, spans) directly — same results as the documents path on the
+    same docs, minus the synthesis step."""
+    from tackle4losscontentextraction_spark.sources import synth
+
+    docs = synth.docs_from_documents(
+        spark.read.parquet(f"{SF}/documents.parquet")).limit(60)
+    spans_in = str(tmp_path / "spans_in")
+    docs.write.mode("overwrite").parquet(spans_in)
+
+    out = _run_job(
+        "run_pipeline.py",
+        "--input", spans_in, "--spans",
+        "--workdir", str(tmp_path / "wd"), "--buckets", "2",
+    )
+    assert out["metrics"]["n_docs"] == 60
+    assert out["doc_table"]["rows_written"] == 60 - out["metrics"]["n_errors"]
+    assert 0 < out["vec_table"]["rows_written"] <= out["doc_table"]["rows_written"]
+
+
 def test_run_pipeline_end_to_end_and_resume(tmp_path):
     wd = str(tmp_path / "wd")
     argv = ("--input", f"{SF}/documents.parquet",

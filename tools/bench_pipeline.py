@@ -1,0 +1,187 @@
+"""Composed-pipeline bench leg (VERDICT r4 task 6): time
+``jobs/run_pipeline.py`` end-to-end at local[32] over a synthetic span
+corpus, then measure the resume overhead after a mid-run kill.
+
+The unit under test is the WHOLE job a scheduler would submit — scan ->
+extract (bucketed, lineage) -> R5 gate -> embed -> doc/vec MERGE — not
+the extract stage the headline bench times, so this leg is the first
+wall-clock number for the snapshot-table write path and the
+multi-stage composition overhead.
+
+Phases (each stamped with 1-min loadavg):
+  1. setup (untimed): synth N docs, write the span-shaped input table
+     (doc_id, url, lang, spans) — the pipeline's native layout
+     (``--spans``), per the engine's input contract.
+  2. full: cold run to completion in a fresh workdir -> t_full,
+     docs/s = N / t_full.
+  3. kill: fresh workdir, same job, SIGKILL the process group as soon
+     as the extraction lineage publishes (the resume commit point) ->
+     t_kill.  Killing at the stage boundary is deterministic; a kill
+     anywhere earlier just redoes extraction (write-audit-publish
+     leaves no partial buckets).
+  4. resume: re-submit the same argv -> t_resume; the run must SKIP
+     every extraction bucket and redo only the merge stages.
+     resume_overhead = (t_kill + t_resume) / t_full — how much a
+     mid-run death costs vs never dying (1.0 = free).
+
+Usage:  python tools/bench_pipeline.py [n_docs] [buckets]
+Writes BENCH/pipeline.json and prints it.  Env: T4L_PIPE_DOCS,
+T4L_PIPE_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CPUS = int(os.environ.get("T4L_PIPE_CPUS", "32"))
+
+
+def _load1() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:
+        return None
+
+
+def _env(cores: int) -> dict:
+    return dict(
+        os.environ,
+        PYSPARK_SUBMIT_ARGS=(
+            f"--master local[{cores}] "
+            f"--conf spark.sql.shuffle.partitions={cores} "
+            f"--conf spark.driver.memory={max(4, int(cores * 1.5))}g "
+            "--conf spark.ui.enabled=false pyspark-shell"
+        ),
+    )
+
+
+def _argv(input_dir: str, workdir: str, buckets: int) -> list[str]:
+    return [
+        sys.executable, os.path.join(REPO, "jobs", "run_pipeline.py"),
+        "--input", input_dir, "--spans",
+        "--workdir", workdir, "--buckets", str(buckets),
+    ]
+
+
+def _run(argv: list[str], cores: int) -> tuple[float, dict]:
+    t0 = time.monotonic()
+    proc = subprocess.run(argv, capture_output=True, text=True,
+                          env=_env(cores), cwd=REPO, timeout=3600)
+    dt = time.monotonic() - t0
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-3000:])
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    return dt, json.loads(lines[-1])
+
+
+def _run_kill_at_lineage(argv: list[str], cores: int, lineage_dir: str,
+                         timeout: float = 3600.0) -> float:
+    """Launch the job, SIGKILL its process group the moment the
+    extraction lineage dir holds a committed parquet part (the resume
+    point), return elapsed seconds at the kill."""
+    t0 = time.monotonic()
+    proc = subprocess.Popen(argv, stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL, env=_env(cores),
+                            cwd=REPO, start_new_session=True)
+    try:
+        while proc.poll() is None:
+            if time.monotonic() - t0 > timeout:
+                raise RuntimeError("kill-phase run exceeded timeout")
+            try:
+                # _SUCCESS = the lineage write committed; killing any
+                # earlier is equivalent to a fresh run (no resume)
+                published = "_SUCCESS" in os.listdir(lineage_dir)
+            except FileNotFoundError:
+                published = False
+            if published:
+                os.killpg(proc.pid, signal.SIGKILL)
+                proc.wait()
+                return time.monotonic() - t0
+            time.sleep(0.2)
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+            proc.wait()
+    # the job finished before lineage appeared on our poll grid —
+    # treat the full run as the kill phase (resume will skip all)
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else int(
+        os.environ.get("T4L_PIPE_DOCS", "300000"))
+    buckets = int(sys.argv[2]) if len(sys.argv) > 2 else CPUS
+
+    work = tempfile.mkdtemp(prefix="t4l_pipebench_")
+    input_dir = os.path.join(work, "input")
+
+    # ---- setup (untimed): span-shaped input table -------------------
+    from pyspark.sql import SparkSession
+
+    from tackle4losscontentextraction_spark.sources import synth
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("t4l-pipebench-setup")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.driver.memory", f"{int(CPUS * 1.5)}g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    synth.synth_docs(spark, n_docs, partitions=max(2 * CPUS, 16)) \
+        .write.mode("overwrite").parquet(input_dir)
+    spark.stop()
+
+    out: dict = {"n_docs": n_docs, "cpus": CPUS, "buckets": buckets,
+                 "ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    try:
+        # ---- phase 2: cold full run ---------------------------------
+        out["load_full"] = _load1()
+        wd_full = os.path.join(work, "wd_full")
+        t_full, r_full = _run(_argv(input_dir, wd_full, buckets), CPUS)
+        assert len(r_full["resume"]["processed"]) == buckets, r_full
+        out["full_sec"] = round(t_full, 3)
+        out["docs_per_sec"] = round(n_docs / t_full, 1)
+        out["rows_doc_table"] = r_full["doc_table"]["rows_written"]
+        out["rows_vec_table"] = r_full["vec_table"]["rows_written"]
+
+        # ---- phase 3: kill at the extraction commit point -----------
+        out["load_kill"] = _load1()
+        wd_kill = os.path.join(work, "wd_kill")
+        argv = _argv(input_dir, wd_kill, buckets)
+        t_kill = _run_kill_at_lineage(
+            argv, CPUS, os.path.join(wd_kill, "lineage"))
+        out["kill_sec"] = round(t_kill, 3)
+
+        # ---- phase 4: resume ----------------------------------------
+        out["load_resume"] = _load1()
+        t_resume, r_resume = _run(argv, CPUS)
+        out["resume_sec"] = round(t_resume, 3)
+        out["resume_skipped_buckets"] = len(r_resume["resume"]["skipped"])
+        out["resume_reprocessed_buckets"] = len(
+            r_resume["resume"]["processed"])
+        out["resume_overhead"] = round((t_kill + t_resume) / t_full, 3)
+        # resumed tables must match the clean run's
+        assert r_resume["doc_table"]["rows_written"] == \
+            r_full["doc_table"]["rows_written"], (r_resume, r_full)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "pipeline.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
