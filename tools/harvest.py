@@ -129,16 +129,31 @@ def _recall_stale() -> bool:
         return True
 
 
+def _pipeline_stale() -> bool:
+    """Missing, or the full-run phase was timed under a loud window
+    (the kill/resume ratio tolerates noise; the docs/s headline
+    doesn't)."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "pipeline.json")) as f:
+            d = json.load(f)
+        return (d.get("n_docs") != 300_000
+                or (d.get("load_full") or 99) > 4.0)
+    except (OSError, json.JSONDecodeError):
+        return True
+
+
 ONESHOTS: list[tuple[str, list[str], float]] = [
     ("streaming refresh", ["bench.py", "--streaming"], 4.0),
     ("profile 32-leg", ["tools/profile_leg.py", "32", "2400000"], 2.5),
     ("profile 8-leg", ["tools/profile_leg.py", "8", "2400000"], 4.0),
     ("recall refresh", ["bench.py", "--recall"], 4.0),
+    ("pipeline bench", ["tools/bench_pipeline.py"], 3.0),
 ]
 ONESHOT_PENDING = {"streaming refresh": _streaming_stale,
                    "profile 32-leg": lambda: _profile_missing(32),
                    "profile 8-leg": lambda: _profile_missing(8),
-                   "recall refresh": _recall_stale}
+                   "recall refresh": _recall_stale,
+                   "pipeline bench": _pipeline_stale}
 
 
 def main() -> None:
