@@ -13,7 +13,7 @@ def test_media_pipeline(spark):
     media = multimodal.synth_media_table(extracted)
     rows = media.collect()
     assert len(rows) > 10
-    assert all(r.mime in ("image/jpeg", "video/mp4") for r in rows)
+    assert all(r.mime in ("application/octet-stream", "video/mp4") for r in rows)
 
     feats = multimodal.decode_image_batch(media, partitions=2).collect()
     assert len(feats) == len(rows)
