@@ -103,17 +103,24 @@ def publish_file(spark: SparkSession, src: str, dst: str) -> bool:
     exists (the optimistic-concurrency loss signal).  Never partially
     publishes.
 
-    - ``file:`` — java.nio ``Files.createLink`` (POSIX link(2)):
-      kernel-atomic EEXIST, no TOCTOU, dst carries src's full content
-      the instant it exists; src is unlinked afterwards.
-    - other schemes — ``FileSystem.rename``: atomic and no-overwrite
-      on HDFS (and object-store committers emulate it); the local
-      TOCTOU caveat of :func:`rename` does not apply off ``file:``.
+    - resolved FS ``file:`` — java.nio ``Files.createLink`` (POSIX
+      link(2)): kernel-atomic EEXIST, no TOCTOU, dst carries src's full
+      content the instant it exists; src is unlinked afterwards.
+    - other resolved schemes — ``FileSystem.rename``: atomic and
+      no-overwrite on HDFS (and object-store committers emulate it);
+      the local TOCTOU caveat of :func:`rename` does not apply there.
     """
     fs, p_src = _fs_and_path(spark, src)
     _, p_dst = _fs_and_path(spark, dst)
-    scheme = p_dst.toUri().getScheme()
-    if scheme in (None, "file"):
+    # Dispatch on the RESOLVED filesystem's scheme, not the raw path's:
+    # a scheme-less path ("/warehouse/t") has URI scheme None even when
+    # fs.defaultFS routes it to HDFS/S3 — the raw scheme would wrongly
+    # take the local-link branch there and fail every publish.
+    scheme = fs.getUri().getScheme()
+    if scheme == "file":
+        # local paths may still be scheme-less; qualify before toUri()
+        p_src = fs.makeQualified(p_src)
+        p_dst = fs.makeQualified(p_dst)
         jvm = spark._jvm
         # java.io.File(...).toPath() instead of Paths.get: Py4J cannot
         # dispatch the latter's (String, String...) varargs signature

@@ -259,7 +259,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("need (h, w, 3) RGB array")
     h, w, _ = pixels.shape
-    if h == 0 or w == 0 or h * w > MAX_PIXELS:
+    # SOF0 stores dims as >H — beyond 65535 the pack would raise
+    # struct.error AFTER the full DCT, breaking the ValueError contract
+    if h == 0 or w == 0 or h * w > MAX_PIXELS or h > 65535 or w > 65535:
         raise ValueError("bad dimensions")
     rgb = pixels.astype(np.float64)
     y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
@@ -438,9 +440,18 @@ def decode_jpeg(payload: bytes | None) -> np.ndarray:
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("marker desync")
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker id — encoders legally pad with them between segments
+            while payload[pos + 1] == 0xFF:
+                pos += 1
+                if pos + 4 > len(payload):
+                    raise ValueError("truncated after fill bytes")
             marker = payload[pos + 1]
             if marker == 0xD9:  # EOI before SOS
                 raise ValueError("no scan data")
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: standalone
+                pos += 2
+                continue
             seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
             seg = payload[pos + 4:pos + 2 + seg_len]
             if len(seg) != seg_len - 2:

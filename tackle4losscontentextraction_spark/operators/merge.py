@@ -39,6 +39,8 @@ Scale design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -140,6 +142,38 @@ def update_columns(
 # travel).  :func:`expire_snapshots` drops history.
 
 
+def _new_staging(table_dir: str, new_id: int) -> tuple[str, str]:
+    """Writer-unique staging (token, data_dir) for snapshot ``new_id``.
+
+    The token format, staging dirname ``snap-<id>-<token>`` and the tmp
+    manifest name derived from it (see :func:`_publish_manifest`) are
+    load-bearing: _serving_dirname, remove_orphans and the snapshot
+    filename filter all match on them — this is the single site that
+    defines them."""
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    return token, f"{table_dir}/data/snap-{new_id}-{token}"
+
+
+def _publish_manifest(spark: SparkSession, table_dir: str, new_id: int,
+                      token: str, data_dir: str, manifest: dict) -> None:
+    """Commit step shared by merge_write and compact: stage the manifest
+    under a token-suffixed tmp name, then atomically publish it with
+    create-no-overwrite semantics. On an optimistic-concurrency loss,
+    clean ONLY our own staging (never the winner's referenced data) and
+    raise."""
+    fsutil.mkdirs(spark, f"{table_dir}/metadata")
+    tmp = f"{table_dir}/metadata/.tmp-{token}-snap-{new_id}.json"
+    fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
+    if not fsutil.publish_file(spark, tmp, _manifest_path(table_dir, new_id)):
+        fsutil.delete_dir(spark, tmp)
+        fsutil.delete_dir(spark, data_dir)
+        raise RuntimeError(
+            f"snapshot {new_id} was published concurrently in {table_dir}; retry"
+        )
+
+
 def _manifest_path(table_dir: str, snap_id: int) -> str:
     return f"{table_dir}/metadata/snap-{snap_id}.json"
 
@@ -169,7 +203,6 @@ def current_snapshot_id(spark: SparkSession, table_dir: str) -> int | None:
 
 
 def _read_manifest(spark: SparkSession, table_dir: str, snap_id: int) -> dict:
-    import json
 
     path = _manifest_path(table_dir, snap_id)
     if not fsutil.exists(spark, path):
@@ -246,7 +279,6 @@ def merge_write(
 
     Returns {"snapshot": N, "touched_buckets": [...], "rows_written": n}.
     """
-    import json
 
     bucket_of = F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     src = source.withColumn("bucket", bucket_of)
@@ -262,11 +294,8 @@ def merge_write(
     # writer-unique staging: racing writers (and leftover dirs from
     # crashed ones) can never collide, so nothing is pre-deleted here —
     # unpublished orphans are reclaimed by remove_orphans()
-    import uuid as _uuid
-
-    token = _uuid.uuid4().hex[:12]
+    token, data_dir = _new_staging(table_dir, new_id)
     dirname = f"snap-{new_id}-{token}"
-    data_dir = f"{table_dir}/data/{dirname}"
 
     existing = (
         [b for b in touched if str(b) in cur_man["buckets"]] if cur_man else []
@@ -339,18 +368,7 @@ def merge_write(
         # left to infer from)
         "schema_json": merged.drop("bucket").schema.json(),
     }
-    fsutil.mkdirs(spark, f"{table_dir}/metadata")
-    tmp = f"{table_dir}/metadata/.tmp-{token}-snap-{new_id}.json"
-    fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
-    if not fsutil.publish_file(spark, tmp, _manifest_path(table_dir, new_id)):
-        # another writer published this id first: clean ONLY our own
-        # token-suffixed staging (never the winner's referenced data)
-        # and surface the optimistic-concurrency conflict
-        fsutil.delete_dir(spark, tmp)
-        fsutil.delete_dir(spark, data_dir)
-        raise RuntimeError(
-            f"snapshot {new_id} was published concurrently in {table_dir}; retry"
-        )
+    _publish_manifest(spark, table_dir, new_id, token, data_dir, manifest)
     return {"snapshot": new_id, "touched_buckets": touched, "rows_written": rows_written}
 
 
@@ -362,7 +380,6 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
     merges small files.  Commits through the same atomic manifest
     publish as merge_write; a kill mid-compaction leaves the previous
     snapshot current."""
-    import json
 
     cur_id = current_snapshot_id(spark, table_dir)
     if cur_id is None:
@@ -373,11 +390,8 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
         # publish a manifest read_table can only serve via schema_json
         return {"snapshot": cur_id, "rows_written": 0}
     new_id = cur_id + 1
-    import uuid as _uuid
-
-    token = _uuid.uuid4().hex[:12]
+    token, data_dir = _new_staging(table_dir, new_id)
     dirname = f"snap-{new_id}-{token}"
-    data_dir = f"{table_dir}/data/{dirname}"
 
     tbl = read_table(spark, table_dir, snapshot=cur_id)
     from pyspark.sql import Observation
@@ -401,14 +415,7 @@ def compact(spark: SparkSession, table_dir: str) -> dict:
             "schema_json", tbl.drop("bucket").schema.json()
         ),
     }
-    tmp = f"{table_dir}/metadata/.tmp-{token}-snap-{new_id}.json"
-    fsutil.write_text(spark, tmp, json.dumps(manifest, indent=1))
-    if not fsutil.publish_file(spark, tmp, _manifest_path(table_dir, new_id)):
-        fsutil.delete_dir(spark, tmp)
-        fsutil.delete_dir(spark, data_dir)
-        raise RuntimeError(
-            f"snapshot {new_id} was published concurrently in {table_dir}; retry"
-        )
+    _publish_manifest(spark, table_dir, new_id, token, data_dir, manifest)
     return {"snapshot": new_id, "rows_written": rows_written}
 
 

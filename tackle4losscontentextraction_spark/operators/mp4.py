@@ -46,6 +46,8 @@ def encode_mp4(samples: list[bytes], timescale: int = 1000,
     is in timescale units (default 40/1000 s = 25 fps)."""
     if not samples:
         raise ValueError("need at least one sample")
+    if not (1 <= width <= 65535 and 1 <= height <= 65535):
+        raise ValueError("bad dimensions")  # stsd stores dims as >H
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
     mdat_payload = b"".join(samples)
     mdat = _box(b"mdat", mdat_payload)
@@ -131,13 +133,24 @@ def _find(payload: bytes, start: int, end: int, tag: bytes,
 def parse_mp4(payload: bytes | None) -> dict:
     """MP4 bytes -> {timescale, duration_ms, codec, width, height,
     samples: [(offset, size, ts_ms)]}. ValueError on malformed input —
-    callers treat that as 'not a real container' and fall back."""
+    callers treat that as 'not a real container' and fall back.
+
+    The ValueError contract holds for EVERY malformed input: a box that
+    passes the _walk bounds check can still end mid-field (e.g. an stsd
+    that claims one entry but stops at the payload boundary), so the
+    whole parse is wrapped and struct.error/IndexError from any unpack
+    are converted — a hostile row must map to ok=false, never kill the
+    Spark task."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated")
     try:
-        top = list(_walk(payload, 0, len(payload)))
-    except struct.error as e:
+        return _parse_mp4(payload)
+    except (struct.error, IndexError) as e:
         raise ValueError(f"malformed: {e}") from e
+
+
+def _parse_mp4(payload: bytes) -> dict:
+    top = list(_walk(payload, 0, len(payload)))
     tags = [t for t, _, _ in top]
     if b"ftyp" not in tags or b"moov" not in tags:
         raise ValueError("not an ISO BMFF file")
@@ -163,8 +176,8 @@ def parse_mp4(payload: bytes | None) -> dict:
                 mdhd_dur = struct.unpack_from(">Q", payload, mdhd_b + 24)[0]
             minf_b, minf_e = _find(payload, mdia_b, mdia_e, b"minf", 3)
             stbl_b, stbl_e = _find(payload, minf_b, minf_e, b"stbl", 4)
-        except ValueError:
-            continue
+        except (ValueError, struct.error, IndexError):
+            continue  # malformed trak: skip it, later traks may be fine
         break
     if stbl_b is None or not mdhd_ts:
         raise ValueError("no video track with sample tables")
@@ -212,14 +225,19 @@ def parse_mp4(payload: bytes | None) -> dict:
         raise ValueError("truncated stco")
     chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", payload, stco_b + 8))
 
-    # expand stsc runs: chunk index -> samples_per_chunk
+    # expand stsc runs: chunk index -> samples_per_chunk. stsc is sorted
+    # by first_chunk (ISO 14496-12 8.7.4), so one forward pointer covers
+    # all chunks in O(n_chunks + n_stsc) — a rescan per chunk would be
+    # quadratic on attacker-controlled table sizes (a ~2 MB file can
+    # declare ~500k chunks x ~170k stsc entries).
     samples: list[tuple[int, int, int]] = []
     si = 0
+    spc = 0
+    sti = 0
     for ci in range(n_chunks):
-        spc = 0
-        for first, per, _desc in stsc:
-            if first <= ci + 1:
-                spc = per
+        while sti < len(stsc) and stsc[sti][0] <= ci + 1:
+            spc = stsc[sti][1]
+            sti += 1
         off = chunk_offsets[ci]
         for _ in range(spc):
             if si >= n_samples:

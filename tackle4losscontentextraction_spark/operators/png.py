@@ -38,10 +38,6 @@ _SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # Arrow batch)
 MAX_PIXELS = 64_000_000
 
-# decompressed-stream cap derived from MAX_PIXELS (RGBA + filter
-# bytes), so a zip-bomb IDAT cannot balloon past the pixel guard
-_MAX_RAW = MAX_PIXELS * 4 + 65_536
-
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (
@@ -172,11 +168,22 @@ def decode_png(payload: bytes | None) -> np.ndarray:
     if not idat:
         raise ValueError("no IDAT")
     bpp = 3 if color == 2 else 4
+    # zlib.decompress(bufsize=N) is only an INITIAL buffer size, not an
+    # output cap — a zip-bomb IDAT would balloon fully into executor
+    # memory before the length check. decompressobj(max_length) is the
+    # real cap: inflate at most expected+1 bytes, and any pending tail
+    # means the stream is bigger than the declared dims allow.
+    # exact raw size for the declared dims; bounded by ~5*MAX_PIXELS
+    # via the w*h guard above, so this is also the memory cap
+    expected = (w * bpp + 1) * h
     try:
-        raw = zlib.decompress(bytes(idat), bufsize=min(_MAX_RAW, (w * bpp + 1) * h))
+        dec = zlib.decompressobj()
+        raw = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from None
     stride = w * bpp
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ValueError("IDAT decompresses past declared dimensions")
     if len(raw) != (stride + 1) * h:
         raise ValueError("IDAT length does not match dimensions")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)

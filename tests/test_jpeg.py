@@ -140,3 +140,26 @@ def test_spark_resize_reencodes_jpeg(spark):
         assert (r.width, r.height) == (8, 8)
         px = jpeg.decode_jpeg(bytes(r.payload))
         assert px.shape == (8, 8, 3)
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker id; encoders legally pad with them between segments."""
+    px = bmp.synth_pattern(16, 16, 5)
+    blob = jpeg.encode_jpeg(px, quality=85)
+    want = jpeg.decode_jpeg(blob)
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        at = blob.find(marker)
+        assert at > 0
+        padded = blob[:at] + b"\xff" * 3 + blob[at:]
+        got = jpeg.decode_jpeg(padded)
+        assert np.array_equal(got, want)
+
+
+def test_encode_rejects_unpackable_dimensions():
+    """Dims that pass MAX_PIXELS but overflow the >H SOF0 fields must
+    fail with ValueError up front, not struct.error after a full DCT."""
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(np.zeros((1, 70_000, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg(np.zeros((70_000, 1, 3), dtype=np.uint8))

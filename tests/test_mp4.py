@@ -119,3 +119,77 @@ def test_spark_sampler_fallback_for_ref_bytes(spark):
         payload = bytes(vids[f.media_id].payload)
         assert f.frame == multimodal._fake_decode(
             payload + f.frame_idx.to_bytes(2, "big"))
+
+
+def test_mid_field_truncation_is_valueerror_not_struct_error():
+    """A box can pass _walk's bounds check yet end mid-field (stsd that
+    claims 1 entry but stops at the payload boundary). The contract is
+    ValueError for EVERY malformed input — struct.error would kill the
+    Spark task instead of producing an ok=false row."""
+    stsd = mp4._full(b"stsd", 0, 0, struct.pack(">I", 1))  # count=1, no entry
+    stbl = mp4._box(b"stbl", stsd)
+    vmhd = mp4._full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = mp4._box(b"minf", vmhd + stbl)
+    mdhd = mp4._full(b"mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, 1000, 1000, 0x55C4, 0))
+    hdlr = mp4._full(b"hdlr", 0, 0,
+                     struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"video\x00")
+    mdia = mp4._box(b"mdia", mdhd + hdlr + minf)
+    trak = mp4._box(b"trak", mdia)
+    blob = mp4._box(b"ftyp", b"isom") + mp4._box(b"moov", trak)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(blob)
+
+
+def test_every_truncation_point_raises_valueerror():
+    """Exhaustive: parse_mp4 of every prefix of a valid file raises
+    ValueError (never struct.error / IndexError)."""
+    blob = mp4.encode_mp4(_samples(4), timescale=1000, sample_duration=500)
+    for cut in range(len(blob)):
+        with pytest.raises(ValueError):
+            mp4.parse_mp4(blob[:cut])
+
+
+def test_hostile_chunk_tables_parse_in_linear_time():
+    """stsc expansion must be O(n_chunks + n_stsc), not a rescan of the
+    whole stsc table per chunk — attacker-controlled counts would turn
+    a ~1.5 MB file into ~10^10 Python iterations otherwise."""
+    import time
+
+    n_chunks, n_stsc = 200_000, 50_000
+    stsd_entry = (
+        struct.pack(">I4s", 86, b"mp4v") + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 16 + struct.pack(">HH", 8, 8)
+        + struct.pack(">II", 0x00480000, 0x00480000) + struct.pack(">I", 0)
+        + struct.pack(">H", 1) + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+    )
+    stsd = mp4._full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = mp4._full(b"stts", 0, 0, struct.pack(">III", 1, n_chunks, 1))
+    stsc = mp4._full(b"stsc", 0, 0, struct.pack(">I", n_stsc) + b"".join(
+        struct.pack(">III", 4 * i + 1, 1, 1) for i in range(n_stsc)))
+    stsz = mp4._full(b"stsz", 0, 0, struct.pack(">II", 1, n_chunks))
+    stco = mp4._full(b"stco", 0, 0, struct.pack(">I", n_chunks)
+                     + struct.pack(">I", 8) * n_chunks)
+    stbl = mp4._box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = mp4._full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = mp4._box(b"minf", vmhd + stbl)
+    mdhd = mp4._full(b"mdhd", 0, 0,
+                     struct.pack(">IIIIHH", 0, 0, 1000, n_chunks, 0x55C4, 0))
+    hdlr = mp4._full(b"hdlr", 0, 0,
+                     struct.pack(">I4s", 0, b"vide") + b"\x00" * 12 + b"video\x00")
+    mdia = mp4._box(b"mdia", mdhd + hdlr + minf)
+    trak = mp4._box(b"trak", mdia)
+    blob = mp4._box(b"ftyp", b"isom") + mp4._box(b"moov", trak)
+
+    t0 = time.monotonic()
+    info = mp4.parse_mp4(blob)
+    elapsed = time.monotonic() - t0
+    assert len(info["samples"]) == n_chunks
+    assert elapsed < 30  # quadratic form needs hours here
+
+
+def test_encode_rejects_unpackable_dimensions():
+    with pytest.raises(ValueError):
+        mp4.encode_mp4([b"x"], width=70_000)
+    with pytest.raises(ValueError):
+        mp4.encode_mp4([b"x"], height=0)

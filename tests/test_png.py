@@ -214,3 +214,16 @@ def test_synth_payload_mix_covers_both_formats(spark):
     feats = multimodal.decode_image_batch(media)
     assert feats.where("ok = false").join(
         media.where("media_kind = 'image'"), "media_id").count() == 0
+
+
+def test_zip_bomb_idat_is_capped_not_materialized():
+    """zlib.decompress(bufsize=N) is only an initial size hint — the
+    real cap is decompressobj(max_length): an IDAT that inflates far
+    past the declared dims must be rejected after at most expected+1
+    bytes, never fully materialized in executor memory."""
+    bomb = _ihdr_png(8, 8, idat=bytes(10_000_000))  # needs only 200 raw bytes
+    with pytest.raises(ValueError, match="past declared"):
+        png.decode_png(bomb)
+    # and a stream that inflates to exactly the declared size still works
+    ok = bmp.synth_pattern(8, 8, 3)
+    assert np.array_equal(png.decode_png(png.encode_png(ok)), ok)

@@ -142,8 +142,14 @@ OUT_BYTES = os.path.join(
 # tiktoken-style category runs — CASE-SENSITIVE, unlike the word-level
 # table's lowercased contract: byte-level BPE is defined over the raw
 # bytes (tiktoken never case-folds), and case variants double the
-# distinct-pre-token set the vocab can learn from
-_PRETOK = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9]+")
+# distinct-pre-token set the vocab can learn from.
+# Imported from the encoder so training and encoding can never drift:
+# the vocab is trained with THIS split and applied with tokens.py's —
+# they must be the same compiled object, not a copy.
+from tackle4losscontentextraction_spark.functions.tokens import (  # noqa: E402
+    _PRETOK_BYTES as _PRETOK,
+    _norm_bytes,
+)
 
 
 def corpus_pretokens() -> Counter:
@@ -154,8 +160,7 @@ def corpus_pretokens() -> Counter:
     for fn in bytes_corpus_files():
         with open(os.path.join(REPO, fn), encoding="utf-8") as f:
             text = f.read()
-        norm = re.sub(r"[ \t\n\x0b\f\r]+", " ",
-                      text.strip(" \t\n\x0b\f\r"))
+        norm = _norm_bytes(text)
         for w in norm.split(" "):
             for pt in _PRETOK.findall(w):
                 freq[pt] += 1
