@@ -60,6 +60,25 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", gc_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate copies the generator's input expression
+        # into a `size(e) > 0` filter, which predicate pushdown then sinks
+        # below the fan-out repartition: every explode of a computed array
+        # (extraction spans, minhash bands, posexplode'd vectors) pays the
+        # WHOLE derivation twice — once serially in the pushed filter on
+        # the unsplit scan partition, once in the projection (measured on
+        # extract_spans: 1.8s -> 0.4s exec at sf0.1). The rows it would
+        # skip (empty arrays) are rows the Generate skips anyway, so
+        # excluding the rule changes no results at any scale.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        # AQE partition coalescing keeps its scale logic (parallelismFirst
+        # targets total/parallelism) but the default 1 MiB minimum collapses
+        # small COMPRESSED shuffles to a handful of tasks (the jaccard
+        # posting window ran 5-wide on 32 cores: ~5 MB of lz4'd postings /
+        # 1 MiB floor). 64 KiB only affects shuffles under ~cores x 1 MiB;
+        # at production sizes partitions are >= 100s of MB and the floor is
+        # never the binding constraint.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
