@@ -101,28 +101,26 @@ def _count_kind(kept: Column, kind: str) -> Column:
     return F.size(F.filter(kept, lambda s: s["kind"] == kind))
 
 
-def extract(
-    docs: DataFrame,
-    date_formats: list[str] | None = None,
-    passthrough: list[str] | None = None,
-) -> DataFrame:
-    """docs -> extracted (see module docstring). Shuffle-free.
+# Column-expression memo (same device as sources/synth._COLS_MEMO): the
+# enrich/keep/expand tree is hundreds of expression nodes, each an F.*
+# py4j round trip; rebuilding it per invocation cost ~0.4 s of driver
+# time (measured). The memo holds immutable Column OBJECTS keyed by the
+# date-format list — plan fragments bound by column name, never data.
+_COLS_MEMO: dict = {}
 
-    passthrough: extra input columns carried to the output unchanged
-    (e.g. an ingest timestamp in the streaming path)."""
-    # NULL spans arrays and NULL span texts must not poison downstream
-    # NULL-propagation (exists/aggregate over NULL -> NULL): normalize once.
+
+def _core_columns() -> dict:
+    cols = _COLS_MEMO.get("core")
+    if cols is not None:
+        return cols
     spans_schema = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
-    docs = docs.withColumn(
-        "spans",
-        F.transform(
-            F.coalesce(F.col("spans"), F.array().cast(spans_schema)),
-            lambda s: F.struct(
-                F.coalesce(s["kind"], F.lit("")).alias("kind"),
-                F.coalesce(s["text"], F.lit("")).alias("text"),
-                F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
-                s["offset"].alias("offset"),
-            ),
+    norm_spans = F.transform(
+        F.coalesce(F.col("spans"), F.array().cast(spans_schema)),
+        lambda s: F.struct(
+            F.coalesce(s["kind"], F.lit("")).alias("kind"),
+            F.coalesce(s["text"], F.lit("")).alias("text"),
+            F.coalesce(s["media_ref"], F.lit("")).alias("media_ref"),
+            s["offset"].alias("offset"),
         ),
     )
     enriched = F.transform(F.col("spans"), _enrich)
@@ -162,30 +160,24 @@ def extract(
             s["media_ref"].alias("media_ref"), i.cast("int").alias("offset"),
         ),
     )
+    cols = {
+        "norm_spans": norm_spans,
+        "url_norm": url_fn.normalize_url(F.col("url")).alias("url_norm"),
+        "spans_in": F.size("spans").alias("spans_in"),
+        "extracted": extracted.alias("extracted"),
+        "error": F.exists(
+            F.col("spans"), lambda s: text_fn.is_error_text(s["text"])
+        ).alias("error"),
+    }
+    _COLS_MEMO["core"] = cols
+    return cols
 
-    url_norm = url_fn.normalize_url(F.col("url"))
-    # Materialize the expensive clean/score chain exactly ONCE per row
-    # (the `extracted` column); every metadata field below derives from
-    # that column, so Catalyst cannot duplicate the regex work.
-    out = docs.select(
-        *(passthrough or []),
-        "doc_id",
-        url_norm.alias("url_norm"),
-        F.col("lang"),
-        F.size("spans").alias("spans_in"),
-        extracted.alias("extracted"),
-        F.exists(F.col("spans"), lambda s: text_fn.is_error_text(s["text"])).alias("error"),
-    )
-    # NOTE (measured): the metadata projections below reference the
-    # `extracted` tree many times, and Catalyst collapses them into one
-    # Project. That is FASTER than forcing materialization with a
-    # barrier (21.8k vs 7.7k docs/s at 100k docs) because interpreted
-    # Project evaluation performs runtime common-subexpression
-    # elimination, while a barrier costs an extra operator + UnsafeRow
-    # round-trip of the nested array. Aggregating consumers (no CSE in
-    # HashAggregate) should insert barrier.barrier() themselves before
-    # grouping — see plans/queries.q_extract_metrics.
 
+def _meta_columns(date_formats: tuple | None) -> dict:
+    key = ("meta", date_formats)
+    cols = _COLS_MEMO.get(key)
+    if cols is not None:
+        return cols
     ex = F.col("extracted")
     # text spans = non-media KINDS (filtering on media_ref=='' would
     # misclassify a degenerate media span whose ref is empty — found by
@@ -205,19 +197,26 @@ def extract(
         (headline == "") & (content_chars < spec.ESCALATE_MAX_CONTENT),
         F.substring(first_text, 1, spec.TITLE_FALLBACK_CHARS),
     ).otherwise(headline)
-
-    out = out.withColumns({
+    cols = {
         "title": title,
         "author": author,
         "publication_date": pub_date,
-        "cleaned_date": date_fn.parse_date_formats(pub_date, date_formats),
+        "cleaned_date": date_fn.parse_date_formats(
+            pub_date, list(date_formats) if date_formats is not None else None),
         "content_chars": content_chars,
         "headline_cnt": _count_kind(ex, "headline"),
         "team_cnt": _count_kind(ex, "team"),
         "news_cnt": _count_kind(ex, "news"),
         "spans_kept": F.size("extracted"),
-    })
+    }
+    _COLS_MEMO[key] = cols
+    return cols
 
+
+def _classify_columns() -> dict:
+    cols = _COLS_MEMO.get("classify")
+    if cols is not None:
+        return cols
     ct = (
         F.when(url_fn.is_roundup_url(F.col("url_norm")), F.lit(spec.CT_ROUNDUP_URL[0]))
         .when(F.col("content_chars") < spec.MIN_CONTENT_CHARS, F.lit(spec.CT_EMPTY[0]))
@@ -238,11 +237,53 @@ def extract(
         .when(F.col("news_cnt") >= spec.NEWS_COLL_MIN, F.lit(spec.CT_NEWSCOLL[1]))
         .otherwise(F.lit(spec.CT_ARTICLE[1]))
     )
-    out = out.withColumn("content_type", ct).withColumn(
-        "type_confidence",
-        conf_fn.apply_confidence_floor(conf_fn.coerce_confidence(tc), ct),
+    cols = {
+        "content_type": ct,
+        "type_confidence": conf_fn.apply_confidence_floor(
+            conf_fn.coerce_confidence(tc), ct),
+    }
+    _COLS_MEMO["classify"] = cols
+    return cols
+
+
+def extract(
+    docs: DataFrame,
+    date_formats: list[str] | None = None,
+    passthrough: list[str] | None = None,
+) -> DataFrame:
+    """docs -> extracted (see module docstring). Shuffle-free.
+
+    passthrough: extra input columns carried to the output unchanged
+    (e.g. an ingest timestamp in the streaming path)."""
+    core = _core_columns()
+    # NULL spans arrays and NULL span texts must not poison downstream
+    # NULL-propagation (exists/aggregate over NULL -> NULL): normalize once.
+    docs = docs.withColumn("spans", core["norm_spans"])
+    # Materialize the expensive clean/score chain exactly ONCE per row
+    # (the `extracted` column); every metadata field below derives from
+    # that column, so Catalyst cannot duplicate the regex work.
+    out = docs.select(
+        *(passthrough or []),
+        "doc_id",
+        core["url_norm"],
+        F.col("lang"),
+        core["spans_in"],
+        core["extracted"],
+        core["error"],
     )
-    return out
+    # NOTE (measured): the metadata projections below reference the
+    # `extracted` tree many times, and Catalyst collapses them into one
+    # Project. That is FASTER than forcing materialization with a
+    # barrier (21.8k vs 7.7k docs/s at 100k docs) because interpreted
+    # Project evaluation performs runtime common-subexpression
+    # elimination, while a barrier costs an extra operator + UnsafeRow
+    # round-trip of the nested array. Aggregating consumers (no CSE in
+    # HashAggregate) should insert barrier.barrier() themselves before
+    # grouping — see plans/queries.q_extract_metrics.
+    out = out.withColumns(
+        _meta_columns(tuple(date_formats) if date_formats is not None else None)
+    )
+    return out.withColumns(_classify_columns())
 
 
 def main_content(extracted: Column) -> Column:

@@ -166,6 +166,42 @@ def _url_expr(doc_id: Column, n_chars: Column) -> Column:
     ).otherwise(url)
 
 
+# Column-expression memo: the span-synthesis tree is a large immutable
+# expression (hundreds of nodes, each an F.* py4j round trip to build).
+# Re-building it on every query invocation cost ~0.3 s of pure driver-
+# side construction per call (measured); the tree itself depends only
+# on input column NAMES, so one instance can be reused by every
+# DataFrame in the process. This memoizes the Column OBJECT — a query
+# plan fragment — never data or results: every invocation still plans,
+# optimizes and executes from the parquet inputs.
+_COLS_MEMO: dict[str, list] = {}
+
+
+def _docs_projection() -> list[Column]:
+    cols = _COLS_MEMO.get("docs_cols")
+    if cols is not None:
+        return cols
+    idn, nc, did = F.col("_idn"), F.col("_nc"), F.col("_did")
+    tmpl_lens = F.array(*[F.lit(len(t)) for t in spec.ARCHETYPES])
+    arch = F.pmod(nc, F.lit(7))
+    tmpl_len = F.element_at(tmpl_lens, arch.cast("int") + 1)
+    n_spans = F.when(spec_is_error(nc), F.lit(1)).otherwise(
+        tmpl_len + F.pmod(nc, F.lit(7)).cast("int")
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), (n_spans - 1).cast("bigint")),
+        lambda i: _span_struct(idn, did, F.col("_text"), nc, i),
+    )
+    cols = [
+        did.alias("doc_id"),
+        _url_expr(idn, nc).alias("url"),
+        F.col("lang"),
+        spans.alias("spans"),
+    ]
+    _COLS_MEMO["docs_cols"] = cols
+    return cols
+
+
 def docs_from_documents(documents: DataFrame) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) -> docs span table.
 
@@ -185,25 +221,7 @@ def docs_from_documents(documents: DataFrame) -> DataFrame:
         F.col("text").alias("_text"),
         F.col("lang").alias("lang"),
     )
-
-    idn, nc, did = F.col("_idn"), F.col("_nc"), F.col("_did")
-    tmpl_lens = F.array(*[F.lit(len(t)) for t in spec.ARCHETYPES])
-    arch = F.pmod(nc, F.lit(7))
-    tmpl_len = F.element_at(tmpl_lens, arch.cast("int") + 1)
-    n_spans = F.when(spec_is_error(nc), F.lit(1)).otherwise(
-        tmpl_len + F.pmod(nc, F.lit(7)).cast("int")
-    )
-
-    spans = F.transform(
-        F.sequence(F.lit(0).cast("bigint"), (n_spans - 1).cast("bigint")),
-        lambda i: _span_struct(idn, did, F.col("_text"), nc, i),
-    )
-    return base.select(
-        did.alias("doc_id"),
-        _url_expr(idn, nc).alias("url"),
-        F.col("lang"),
-        spans.alias("spans"),
-    )
+    return base.select(*_docs_projection())
 
 
 def synth_docs(spark: SparkSession, n_docs: int, partitions: int | None = None) -> DataFrame:
