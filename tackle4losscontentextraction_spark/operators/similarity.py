@@ -55,23 +55,42 @@ def brute_force_topk(
     )
 
 
-def _argmax_cell(normed: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vid, v, cell_id) — nearest centroid per vector WITHOUT a window:
-    a per-vid window would shuffle all N×k scored rows; min(struct(-cos,
-    cell_id)) is a hash aggregate with map-side partial combine, so only
-    N pre-reduced rows hit the exchange. Tie-break identical to the
-    window ORDER BY (cos DESC, cell_id ASC) via lexicographic struct
-    ordering."""
-    scored = normed.crossJoin(F.broadcast(centroids)).select(
-        "vid", "v",
-        F.struct(
-            (-vec_fn.dot(F.col("v"), F.col("centroid"))).alias("neg_cs"),
-            F.col("cell_id").alias("cell_id"),
-        ).alias("sc"),
+def _collect_cells(centroids: DataFrame) -> DataFrame:
+    """One-row relation holding the O(k) centroid set as an array —
+    the broadcastable form both the cell-assignment argmax and the
+    probe selection share (one subtree -> one BroadcastExchange,
+    reused)."""
+    return centroids.agg(
+        F.collect_list(F.struct(F.col("cell_id"), F.col("centroid"))).alias("_cells")
     )
-    return scored.groupBy("vid").agg(
-        F.min("sc").alias("best"), F.first("v").alias("v")
-    ).select("vid", "v", F.col("best.cell_id").alias("cell_id"))
+
+
+def _argmax_cell_arr(normed: DataFrame, cent_arr: DataFrame) -> DataFrame:
+    """(vid, v, cell_id) — nearest centroid per vector with NO exchange
+    at all: the centroid array row is broadcast and the argmax is a
+    per-row array_min over struct(-cos, cell_id) — a pure projection.
+    The r5 shape (crossJoin + min(struct) hash aggregate) still
+    shuffled N pre-reduced rows; this removes that exchange entirely,
+    so cell assignment scales as a narrow map over the vectors.
+    Tie-break identical to a window ORDER BY (cos DESC, cell_id ASC)
+    via lexicographic struct ordering (cosines are never NaN:
+    zero-norm inputs produce 0.0 dot products)."""
+    best = F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                (-vec_fn.dot(F.col("v"), c["centroid"])).alias("neg_cs"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+    )
+    return normed.crossJoin(F.broadcast(cent_arr)).select(
+        "vid", "v", best["cell_id"].alias("cell_id")
+    )
+
+
+def _argmax_cell(normed: DataFrame, centroids: DataFrame) -> DataFrame:
+    return _argmax_cell_arr(normed, _collect_cells(centroids))
 
 
 def cells_from_centroids(vectors: DataFrame, centroids: DataFrame,
@@ -140,22 +159,46 @@ def ivf_topk(
 
     centroids: (cell_id bigint, centroid array<double>) — L2-normalized.
     Returns (qid, neighbor, cosine, rk).
-    """
-    cells = cells_from_centroids(vectors, centroids, id_col, vec_col)
+
+    r6 shape: cell assignment AND probe selection both derive from ONE
+    collected centroid-array relation (_collect_cells) — the vector
+    side's argmax is a pure projection (no exchange, see
+    _argmax_cell_arr) and the per-query nprobe cells come from an
+    array_sort slice instead of a row_number window (same tie-break:
+    struct(neg_qcs, cell_id) ascending == qcs DESC, cell_id ASC).
+    Sharing the single-row subtree keeps one BroadcastExchange
+    (reused), where the r5 plan computed the centroid lineage twice and
+    paid a window sort for the probe ranking."""
+    cent_arr = _collect_cells(centroids)
+    cells = _argmax_cell_arr(_normalized(vectors, id_col, vec_col), cent_arr)
     q = _normalized(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv")
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("qcs"), F.asc("cell_id"))
+    probe_structs = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("_cells"),
+                lambda c: F.struct(
+                    (-vec_fn.dot(F.col("qv"), c["centroid"])).alias("neg_qcs"),
+                    c["cell_id"].alias("cell_id"),
+                ),
+            )
+        ),
+        1, nprobe,
+    )
     probes = (
-        F.broadcast(q).crossJoin(F.broadcast(centroids))
-        .withColumn("qcs", vec_fn.dot(F.col("qv"), F.col("centroid")))
-        .withColumn("pr", F.row_number().over(wq))
-        .where(F.col("pr") <= nprobe)
-        .select("qid", "qv", "cell_id")
+        q.crossJoin(F.broadcast(cent_arr))
+        .select("qid", "qv", F.explode(probe_structs).alias("p"))
+        .select("qid", "qv", F.col("p.cell_id").alias("cell_id"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vid"))
+    # broadcast the O(queries x nprobe) probe side: without the hint the
+    # planner (sizing the windowed probe subtree pessimistically) picked
+    # a SortMergeJoin at sf0.1, shuffling EVERY cell-assigned vector by
+    # a nlist-valued key — the exact skewed payload shuffle IVF exists
+    # to avoid.
     return (
-        probes.join(cells, "cell_id")
+        F.broadcast(probes).join(cells, "cell_id")
         .where(F.col("qid") != F.col("vid"))
         .withColumn("cos_raw", vec_fn.dot(F.col("qv"), F.col("v")))
         .withColumn("rk", F.row_number().over(w))

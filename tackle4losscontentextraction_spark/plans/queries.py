@@ -392,25 +392,44 @@ def _label_centroids(e: DataFrame) -> DataFrame:
 
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/O3: nearest-centroid assignment with the 0.82 threshold
-    (cluster_manager.py:111-132 rebuilt as broadcast-join + window)."""
-    from pyspark.sql.window import Window
-
+    (cluster_manager.py:111-132). r6: the N×k expansion + row_number
+    window (sort + keyed shuffle of N×k scored rows) is replaced by a
+    per-row argmax — the centroid set is collected into one broadcast
+    array row and array_min over struct(-cos, label) picks the winner
+    as a pure projection (the window-free shape similarity._argmax_cell
+    uses). Tie-break (cos DESC, label ASC) and the emitted rows are
+    identical: cosine_similarity never yields NaN (zero-norm -> 0.0),
+    so lexicographic struct-min == the window's rank-1 row."""
     e = _t(spark, sf_dir, "embeddings")
     cents = _label_centroids(e)
+    cent_arr = cents.agg(
+        F.collect_list(F.struct(F.col("label"), F.col("centroid"))).alias("_cells")
+    )
     v = F.col("embedding").cast("array<double>")
-    sim = vec_fn.cosine_similarity(v, F.col("centroid"))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_raw"), F.asc("label"))
+    best = F.array_min(
+        F.transform(
+            F.col("_cells"),
+            lambda c: F.struct(
+                (-vec_fn.cosine_similarity(v, c["centroid"])).alias("neg_cs"),
+                c["label"].alias("label"),
+            ),
+        )
+    )
+    scored = (
+        e.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", best.alias("best"))
+    )
     return (
-        e.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-        .withColumn("cos_raw", sim)
-        .withColumn("rk", F.row_number().over(w))
         # operator default is the reference 0.82 (clustering.py); this
         # corpus's embeddings are unclustered so the parity query uses
         # 0.2 to exercise both the assigned and unassigned branches
-        .where((F.col("rk") == 1) & (F.col("cos_raw") > 0.2))
-        .select(F.col("vec_id").cast("bigint").alias("vec_id"),
-                F.col("label").alias("assigned_label"),
-                F.round("cos_raw", 6).alias("cosine"))
+        scored.where(-F.col("best.neg_cs") > 0.2)
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("best.label").alias("assigned_label"),
+            F.round(-F.col("best.neg_cs"), 6).alias("cosine"),
+        )
     )
 
 
