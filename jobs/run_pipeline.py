@@ -87,6 +87,17 @@ def main() -> int:
     extracted_dir, lineage_dir = f"{wd}/extracted", f"{wd}/lineage"
     doc_table, vec_table = f"{wd}/doc_table", f"{wd}/vec_table"
 
+    # per-stage wall times (VERDICT r5 task 1: the composed pipeline
+    # needs a stage profile, not one opaque number)
+    import time as _time
+    stage_sec: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        stage_sec[name] = round(_time.perf_counter() - _t0, 3)
+        _t0 = _time.perf_counter()
+
     # ---- stage 1: extract (resumable) -------------------------------
     raw = spark.read.parquet(args.input)
     if args.html:
@@ -102,9 +113,11 @@ def main() -> int:
     resume = lineage.run_with_resume(
         spark, docs, transform, extracted_dir, lineage_dir,
         n_buckets=args.buckets)
+    _mark("extract_write")
 
     extracted = spark.read.parquet(extracted_dir)
     m = pipeline.metrics(extracted).collect()[0].asDict()
+    _mark("metrics")
 
     # ---- stage 2: R5 gate + doc-table MERGE -------------------------
     # error rows stop here (the reference skips DB update + embedding
@@ -120,17 +133,23 @@ def main() -> int:
     )
     doc_res = merge.merge_write(spark, doc_table, articles,
                                 key="doc_id", n_buckets=args.buckets)
+    _mark("doc_merge")
 
     # ---- stage 3: embed + vector-table MERGE ------------------------
-    vectors = articles.select(
-        "doc_id",
-        emb_fn.hash_embed(F.col("main_content"), args.dim).alias("embedding"),
-    ).where(F.col("main_content") != "")
+    # Arrow embed twin (bit-identical to hash_embed, see
+    # embeddings.embed_select_arrow): the Catalyst fold's
+    # O(tokens x dim) interpreted ops dominated this stage
+    vectors = emb_fn.embed_select_arrow(
+        articles.where(F.col("main_content") != ""),
+        id_col="doc_id", text_col="main_content", dim=args.dim,
+    )
     vec_res = merge.merge_write(spark, vec_table, vectors,
                                 key="doc_id", n_buckets=args.buckets)
+    _mark("embed_vec_merge")
 
     out = {
         "resume": resume,
+        "stage_sec": stage_sec,
         "metrics": m,
         "doc_table": {"snapshot": doc_res["snapshot"],
                       "rows_written": doc_res["rows_written"]},

@@ -66,3 +66,79 @@ def hash_embed(text: Column, dim: int = DEFAULT_DIM) -> Column:
 
 def embed_documents(docs: DataFrame, text_col: str = "text", dim: int = DEFAULT_DIM) -> DataFrame:
     return docs.withColumn("embedding", hash_embed(F.col(text_col), dim))
+
+
+def embed_select_arrow(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(id_col, embedding) via mapInArrow — the throughput twin of
+    :func:`hash_embed` for pipeline use (r6).
+
+    The Catalyst fold is O(tokens x dim) interpreted expression ops per
+    row (each token rebuilds the dim-long accumulator array) — measured
+    as the dominant cost of the composed pipeline's embed stage. Here
+    each token costs one (memoized) md5 + one array update, and the
+    result is BIT-IDENTICAL to hash_embed: the +-1.0 bucket sums are
+    exact in doubles so fold order is irrelevant, the squared-sum for
+    the norm accumulates in the same index order, and tokenization
+    mirrors the JVM exactly — trim strips ' ' only (Spark trim), the
+    split pattern is Java's ASCII \\s class, and distinct-ness is set
+    membership. ``tests/test_embeddings_arrow.py`` pins the equality.
+
+    The ORACLE-GATED q_hash_embeddings query keeps the pure-Catalyst
+    path (its plan pin forbids Python workers); this twin is for jobs
+    that own their Python boundary, like jobs/run_pipeline.py.
+    """
+    import hashlib
+    import math
+    import re
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    split_ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
+    id_type = [f for f in docs.schema.fields if f.name == id_col][0].dataType.simpleString()
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        memo: dict[str, tuple[int, float]] = {}
+
+        def contrib(tok: str) -> tuple[int, float]:
+            try:
+                return memo[tok]
+            except KeyError:
+                h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+                b = int(h[:8], 16) % dim
+                s = 1.0 if (int(h[8], 16) % 2) else -1.0
+                if len(memo) > 1 << 16:
+                    memo.clear()
+                memo[tok] = (b, s)
+                return (b, s)
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            out: list[list[float] | None] = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                v = [0.0] * dim
+                for tok in set(split_ws.split(t.strip(" ").lower())):
+                    b, s = contrib(tok)
+                    v[b] += s
+                sq = 0.0
+                for x in v:
+                    sq += x * x
+                n = math.sqrt(sq)
+                if n != 0.0:
+                    v = [x / n for x in v]
+                out.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out, pa.list_(pa.float64()))],
+                names=[id_col, "embedding"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        fn, schema=f"{id_col} {id_type}, embedding array<double>"
+    )

@@ -200,6 +200,7 @@ def replay_clustering(
     similarity_threshold: float = 0.82,
     merge_threshold: float = 0.9,
     max_articles: int = 1000,
+    max_clusters: int = 100_000,
     id_fn=None,
 ) -> dict[str, DataFrame]:
     """Spark surface: collect the BOUNDED working set (the reference's
@@ -211,7 +212,22 @@ def replay_clustering(
     the ref inherits whatever the DB returns).
     clusters: (cluster_id, centroid array, n_members), fetch order =
     cluster_id ascending for determinism.
+
+    ``max_clusters`` bounds the cluster-side driver collect (the
+    reference's fetch_existing_clusters is uncapped, but an uncapped
+    ``collect()`` on the driver is exactly the failure mode guide §5
+    warns about): exceeding it raises instead of silently pulling an
+    unbounded table — the sequential twin is only faithful for working
+    sets a driver can hold anyway.
     """
+    n_clusters = clusters.limit(max_clusters + 1).count()
+    if n_clusters > max_clusters:
+        raise ValueError(
+            f"replay_clustering: cluster table exceeds max_clusters="
+            f"{max_clusters}; the sequential replay twin is driver-side "
+            "by design — raise the cap deliberately or use the batch "
+            "clusterer (operators/clustering.py) for sets this large"
+        )
     art_rows = (
         articles.orderBy(articles.created_at.desc(), articles.article_id.desc())
         .limit(max_articles)

@@ -345,7 +345,16 @@ def merge_write(
         [F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}") for b in touched]
         if mode == "delete" else []
     )
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"), *per_bucket)
+    # cluster the write by bucket (Iceberg write.distribution-mode=hash):
+    # one file per touched bucket instead of tasks x buckets shards —
+    # see lineage.run_with_resume for the measured small-file tax.
+    # The observe sits ABOVE the repartition: below it, AQE's empty-
+    # relation propagation can replace the post-shuffle subtree —
+    # CollectMetrics included — when a delete empties the table, and
+    # obs.get then has no row (measured: delete-everything failed).
+    merged = merged.repartition(max(len(touched), 1), F.col("bucket")).observe(
+        obs, F.count(F.lit(1)).alias("rows"), *per_bucket
+    )
     merged.write.mode("overwrite").partitionBy("bucket").parquet(data_dir)
     metrics = obs.get
     rows_written = metrics["rows"]

@@ -111,7 +111,16 @@ def run_with_resume(
     from pyspark.sql import Observation
 
     obs = Observation("lineage_counts")
-    part = part.observe(
+    # The write is CLUSTERED by bucket (Iceberg write.distribution-mode=
+    # hash): without the repartition every input task opened a writer
+    # for every bucket — input_partitions x n_buckets small files (2048
+    # at 100k docs/32 buckets, measured 24.5s for the stage) — and every
+    # downstream scan paid the listing + open tax. One exchange of the
+    # extracted rows buys one file per bucket and a 32-task write. The
+    # observe rides ABOVE the repartition so AQE's empty-relation
+    # propagation cannot drop the CollectMetrics node when a transform
+    # yields zero rows (see merge.merge_write).
+    part = part.repartition(n_buckets, F.col("bucket")).observe(
         obs,
         *[
             F.sum((F.col("bucket") == b).cast("long")).alias(f"b{b}")

@@ -292,3 +292,26 @@ def test_spark_surface_respects_cap(spark):
     want = ref_run(list(reversed(articles))[:10], clusters)
     assert [(r.article_id, r.cluster_id)
             for r in out["assignments"].orderBy("seq").collect()] == want[0]
+
+
+def test_replay_cluster_collect_is_bounded(spark):
+    """An over-limit cluster table must raise, not silently collect
+    (r6: the driver-side working set is provably bounded)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tackle4losscontentextraction_spark.operators import clustering_replay as cr
+
+    arts = spark.createDataFrame(
+        [(1, [1.0, 0.0], "2026-01-01")],
+        "article_id long, vec array<double>, created_at string",
+    )
+    clus = spark.range(0, 10).select(
+        F.concat(F.lit("c"), F.col("id")).alias("cluster_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("centroid"),
+        F.lit(1).alias("n_members"),
+    )
+    with pytest.raises(ValueError, match="max_clusters"):
+        cr.replay_clustering(spark, arts, clus, max_clusters=5)
+    out = cr.replay_clustering(spark, arts, clus, max_clusters=50)
+    assert out["assignments"].count() == 1
