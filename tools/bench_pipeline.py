@@ -152,6 +152,7 @@ def main() -> None:
         assert len(r_full["resume"]["processed"]) == buckets, r_full
         out["full_sec"] = round(t_full, 3)
         out["docs_per_sec"] = round(n_docs / t_full, 1)
+        out["stage_sec"] = r_full.get("stage_sec")
         out["rows_doc_table"] = r_full["doc_table"]["rows_written"]
         out["rows_vec_table"] = r_full["vec_table"]["rows_written"]
 
