@@ -31,9 +31,13 @@ corpus therefore stays BMP/PNG.
 
 Kernels are plain (bytes/ndarray) functions; the Spark surface stays
 in operators/multimodal.py (Arrow-batched mapInPandas), same contract
-as bmp.py/png.py. The entropy loop is per-symbol Python — fine for
-the thumbnail-scale payloads the media table carries; the batch stages
-(DCT, color, upsample) are vectorized numpy.
+as bmp.py/png.py. The decoder's bitstream stage is table-driven: the
+entropy region is unstuffed/segmented in one vectorized pass, a 2^16
+lookahead LUT turns each Huffman symbol into a single list index, and
+the batch stages (DCT, color, upsample) are vectorized numpy — the
+round-5 per-bit Python reader spent 83-96% of decode wall time (and
+grew an unbounded accumulator int, going superlinear past ~256px; see
+BENCH/media.json).
 
 Reference context: the crawler strips <img> tags outright
 (extractContent.py:272); the rebuild preserves media refs and grades
@@ -211,34 +215,68 @@ def _encode_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
     return q[:, ZIGZAG]  # natural -> zigzag stream order
 
 
-def _entropy_encode_block(w: _BitWriter, zz: np.ndarray, pred: int,
+def _entropy_encode_block(w: _BitWriter, zzl: list[int], pred: int,
                           dc_codes: dict, ac_codes: dict) -> int:
-    dc = int(zz[0])
-    size, amp = _magnitude(dc - pred)
+    """One block's DC diff + AC run-length symbols, bit-packed with
+    local-int state that is pushed back to the writer at block end.
+    Takes the block as a plain list: per-symbol ``write`` method calls
+    and the per-block numpy nonzero/max reductions were 2/3 of encode
+    wall time (see BENCH/media.json). Bitstream is byte-identical to
+    the round-5 writer — same symbols, same canonical codes."""
+    acc, n, buf = w.acc, w.n, w.buf
+    dc = zzl[0]
+    v = dc - pred
+    size, amp = _magnitude(v)
     code, length = dc_codes[size]
-    w.write(code, length)
+    acc = (acc << length) | code
+    n += length
     if size:
-        w.write(amp, size)
+        acc = (acc << size) | amp
+        n += size
+    last_nz = 63  # last nonzero AC index (0 when every AC is zero)
+    while last_nz and zzl[last_nz] == 0:
+        last_nz -= 1
     run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for i in range(1, 64):
-        v = int(zz[i])
+    for i in range(1, last_nz + 1):
+        v = zzl[i]
         if v == 0:
-            if i > last_nz:
-                code, length = ac_codes[0x00]  # EOB
-                w.write(code, length)
-                break
             run += 1
             if run == 16:
                 code, length = ac_codes[0xF0]  # ZRL
-                w.write(code, length)
+                acc = (acc << length) | code
+                n += length
                 run = 0
             continue
-        size, amp = _magnitude(v)
+        if v > 0:
+            size = v.bit_length()
+            amp = v
+        else:
+            size = (-v).bit_length()
+            amp = v + (1 << size) - 1
         code, length = ac_codes[(run << 4) | size]
-        w.write(code, length)
-        w.write(amp, size)
+        acc = (acc << (length + size)) | (code << size) | amp
+        n += length + size
         run = 0
+        if n >= 32:  # drain so acc stays a machine-word-sized int
+            while n >= 8:
+                n -= 8
+                byte = (acc >> n) & 0xFF
+                buf.append(byte)
+                if byte == 0xFF:
+                    buf.append(0x00)
+            acc &= (1 << n) - 1
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        acc = (acc << length) | code
+        n += length
+    while n >= 8:
+        n -= 8
+        byte = (acc >> n) & 0xFF
+        buf.append(byte)
+        if byte == 0xFF:
+            buf.append(0x00)
+    w.acc = acc & ((1 << n) - 1)
+    w.n = n
     return dc
 
 
@@ -281,9 +319,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         y, cb, cr = _pad_to(y, 8), _pad_to(cb, 8), _pad_to(cr, 8)
         hs, vs = 1, 1
 
-    zz_y = _encode_plane_blocks(y, qt_l)
-    zz_cb = _encode_plane_blocks(cb, qt_c)
-    zz_cr = _encode_plane_blocks(cr, qt_c)
+    zz_y = _encode_plane_blocks(y, qt_l).tolist()
+    zz_cb = _encode_plane_blocks(cb, qt_c).tolist()
+    zz_cr = _encode_plane_blocks(cr, qt_c).tolist()
 
     dc_l = _build_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_l = _build_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
@@ -338,91 +376,171 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     return bytes(out)
 
 
-class _BitReader:
-    """MSB-first reader over entropy-coded data: un-stuffs 0xFF00,
-    byte-aligns and resets at RSTn, raises ValueError at EOI/any other
-    marker mid-scan (truncated stream)."""
-
-    def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("truncated entropy data")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy data")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1
-            else:
-                raise ValueError("marker inside entropy data")
-        self.acc = (self.acc << 8) | b
-        self.n += 8
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.bit()
-        return v
-
-    def sync_restart(self) -> None:
-        """Byte-align and consume the expected RSTn marker."""
-        self.acc = 0
-        self.n = 0
-        if self.pos + 1 >= len(self.data):
-            raise ValueError("truncated at restart")
-        if self.data[self.pos] != 0xFF or not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
-            raise ValueError("expected restart marker")
-        self.pos += 2
+def _build_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """Canonical table -> flat 2^16 lookup: entry ``(sym << 5) | len``
+    for every 16-bit lookahead whose prefix is that code (0 = no code
+    matches). Replaces the per-bit tree walk with ONE list index per
+    symbol. Overlong canonical assignments (hostile BITS counts) shift
+    past 2^16 and stay unreachable, same as the old dict lookup."""
+    lut = np.zeros(1 << 16, dtype=np.int64)
+    for sym, (code, length) in _build_codes(bits, vals).items():
+        lo = code << (16 - length)
+        lut[lo:lo + (1 << (16 - length))] = (sym << 5) | length
+    return lut.tolist()
 
 
-def _decode_huffman(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | r.bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid huffman code")
+def _entropy_segments(payload: bytes, pos: int) -> list[np.ndarray]:
+    """Split the entropy-coded region into restart-delimited, unstuffed
+    byte arrays in one vectorized pass (np.flatnonzero over the 0xFF
+    positions; the Python loop runs once per 0xFF, ~payload/256 times).
+
+    Segment i+1 exists only when segment i was terminated by an RSTn
+    marker; the region ends at the first non-RST marker, end-of-data,
+    or a lone trailing 0xFF (whose bits the old per-byte reader also
+    refused to serve). Reads past a segment's end raise in the decode
+    loop — the same outcomes the _BitReader produced byte-by-byte."""
+    arr = np.frombuffer(payload, dtype=np.uint8)[pos:]
+    segs: list[np.ndarray] = []
+    drops: list[int] = []
+    start = 0
+    done = False
+    for f in np.flatnonzero(arr == 0xFF):
+        if f < start:
+            continue  # consumed as part of the previous RSTn marker
+        if f + 1 >= arr.size:  # lone trailing 0xFF: not servable data
+            segs.append(np.delete(arr[start:f], [d - start for d in drops]))
+            done = True
+            break
+        nxt = arr[f + 1]
+        if nxt == 0x00:  # stuffed data byte: keep 0xFF, drop the 0x00
+            drops.append(f + 1)
+            continue
+        segs.append(np.delete(arr[start:f], [d - start for d in drops]))
+        drops = []
+        if 0xD0 <= nxt <= 0xD7:  # restart: next segment follows
+            start = f + 2
+        else:  # any other marker ends the entropy region
+            done = True
+            break
+    if not done:
+        segs.append(np.delete(arr[start:], [d - start for d in drops]))
+    return segs
+
+
+def _lookahead(seg: np.ndarray) -> tuple[list[int], int]:
+    """(look, nbits) where ``look[p]`` is the 16-bit MSB-first window
+    starting at bit p (zero-padded past the segment end — consumers
+    bound every read by ``nbits``). Built vectorized: one 24-bit word
+    per byte, shifted to all 8 in-byte offsets at once; .tolist() so
+    the decode loop pays plain-list indexing, not numpy scalar boxing."""
+    b = np.empty(seg.size + 2, dtype=np.uint32)
+    b[:seg.size] = seg
+    b[seg.size:] = 0
+    w = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+    shifts = (8 - np.arange(8, dtype=np.uint32))[None, :]
+    look = ((w[:, None] >> shifts) & 0xFFFF).astype(np.int64).reshape(-1)
+    return look.tolist(), seg.size * 8
 
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _decode_block(r: _BitReader, dc_tbl: dict, ac_tbl: dict, pred: int) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.int64)
-    size = _decode_huffman(r, dc_tbl)
-    diff = _extend(r.bits(size), size) if size else 0
-    dc = pred + diff
-    zz[0] = dc
-    i = 1
-    while i < 64:
-        sym = _decode_huffman(r, ac_tbl)
-        if sym == 0x00:  # EOB
-            break
-        if sym == 0xF0:  # ZRL
-            i += 16
-            continue
-        run, size = sym >> 4, sym & 0xF
-        i += run
-        if i >= 64 or size == 0:
-            raise ValueError("AC coefficient overrun")
-        zz[i] = _extend(r.bits(size), size)
-        i += 1
-    return zz, dc
+def _decode_scan(payload: bytes, pos: int, comps: list, scan_map: list,
+                 huff: dict, restart_interval: int, mcus_x: int,
+                 mcus_y: int, planes: list[np.ndarray]) -> None:
+    """Entropy-decode every MCU into ``planes`` (zigzag coefficient
+    rows). Per-symbol cost is one LUT list index + int arithmetic; the
+    bitstream itself was unstuffed/segmented vectorized up front."""
+    tbls = []
+    for ci, dc_id, ac_id in scan_map:
+        dc_lut, ac_lut = huff.get((0, dc_id)), huff.get((1, ac_id))
+        if dc_lut is None or ac_lut is None:
+            raise ValueError("scan references missing huffman table")
+        tbls.append((ci, comps[ci][1], comps[ci][2], dc_lut, ac_lut))
+
+    segs = _entropy_segments(payload, pos)
+    seg_i = 0
+    look, nbits = _lookahead(segs[0])
+    p = 0
+    preds = [0] * len(comps)
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            # byte-align: only the tail of the current byte may remain
+            # unread before the marker (T.81 F.2.1.3.1); a full spare
+            # byte means the marker was not where the stream promised
+            if nbits - p >= 8 or seg_i + 1 >= len(segs):
+                raise ValueError("expected restart marker")
+            seg_i += 1
+            look, nbits = _lookahead(segs[seg_i])
+            p = 0
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcus_x)
+        for ci, hs, vs, dc_lut, ac_lut in tbls:
+            plane = planes[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    zz = np.zeros(64, dtype=np.int64)
+                    # --- DC ---
+                    if p >= nbits:
+                        raise ValueError("truncated entropy data")
+                    e = dc_lut[look[p]]
+                    ln = e & 31
+                    if ln == 0:
+                        raise ValueError(
+                            "truncated entropy data" if nbits - p < 16
+                            else "invalid huffman code")
+                    if p + ln > nbits:
+                        raise ValueError("truncated entropy data")
+                    p += ln
+                    size = e >> 5
+                    if size:
+                        if p + size > nbits:
+                            raise ValueError("truncated entropy data")
+                        if size <= 16:
+                            v = look[p] >> (16 - size)
+                            p += size
+                        else:  # hostile DHT: DC size category > 16
+                            v = 0
+                            rem = size
+                            while rem > 16:
+                                v = (v << 16) | look[p]
+                                p += 16
+                                rem -= 16
+                            v = (v << rem) | (look[p] >> (16 - rem))
+                            p += rem
+                        preds[ci] += _extend(v, size)
+                    zz[0] = preds[ci]
+                    # --- AC ---
+                    i = 1
+                    while i < 64:
+                        if p >= nbits:
+                            raise ValueError("truncated entropy data")
+                        e = ac_lut[look[p]]
+                        ln = e & 31
+                        if ln == 0:
+                            raise ValueError(
+                                "truncated entropy data" if nbits - p < 16
+                                else "invalid huffman code")
+                        if p + ln > nbits:
+                            raise ValueError("truncated entropy data")
+                        p += ln
+                        sym = e >> 5
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        i += sym >> 4
+                        size = sym & 0xF
+                        if i >= 64 or size == 0:
+                            raise ValueError("AC coefficient overrun")
+                        if p + size > nbits:
+                            raise ValueError("truncated entropy data")
+                        zz[i] = _extend(look[p] >> (16 - size), size)
+                        p += size
+                        i += 1
+                    plane[my * vs + by, mx * hs + bx] = zz
 
 
 def decode_jpeg(payload: bytes | None) -> np.ndarray:
@@ -432,7 +550,7 @@ def decode_jpeg(payload: bytes | None) -> np.ndarray:
         raise ValueError("bad magic")
     pos = 2
     qts: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], list[int]] = {}
     frame = None          # (h, w, [(cid, hs, vs, qt_id)])
     scan_map = None       # [(comp_idx, dc_id, ac_id)]
     restart_interval = 0
@@ -492,8 +610,7 @@ def decode_jpeg(payload: bytes | None) -> np.ndarray:
                     bits = list(seg[p + 1:p + 17])
                     n = sum(bits)
                     vals = list(seg[p + 17:p + 17 + n])
-                    codes = _build_codes(bits, vals)
-                    huff[(tc, th)] = {(ln, code): sym for sym, (code, ln) in codes.items()}
+                    huff[(tc, th)] = _build_lut(bits, vals)
                     p += 17 + n
             elif marker == 0xDD:  # DRI
                 restart_interval = struct.unpack_from(">H", seg, 0)[0]
@@ -526,22 +643,8 @@ def decode_jpeg(payload: bytes | None) -> np.ndarray:
         for _, hs, vs, _ in comps:
             planes.append(np.zeros((mcus_y * vs, mcus_x * hs, 64), dtype=np.int64))
 
-        r = _BitReader(payload, pos)
-        preds = [0] * len(comps)
-        for m in range(mcus_x * mcus_y):
-            if restart_interval and m and m % restart_interval == 0:
-                r.sync_restart()
-                preds = [0] * len(comps)
-            my, mx = divmod(m, mcus_x)
-            for ci, dc_id, ac_id in scan_map:
-                _, hs, vs, _ = comps[ci]
-                dc_tbl, ac_tbl = huff.get((0, dc_id)), huff.get((1, ac_id))
-                if dc_tbl is None or ac_tbl is None:
-                    raise ValueError("scan references missing huffman table")
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz, preds[ci] = _decode_block(r, dc_tbl, ac_tbl, preds[ci])
-                        planes[ci][my * vs + by, mx * hs + bx] = zz
+        _decode_scan(payload, pos, comps, scan_map, huff,
+                     restart_interval, mcus_x, mcus_y, planes)
 
         # dequantize + batch IDCT + reassemble + upsample per component
         out_planes = []

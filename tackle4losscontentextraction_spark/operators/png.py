@@ -206,23 +206,29 @@ def decode_png(payload: bytes | None) -> np.ndarray:
             cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
         else:
             # Average/Paeth depend on the just-reconstructed left pixel
-            # -> sequential across the row, vectorized across channels
-            cur = np.zeros(stride, dtype=np.int32)
-            for x in range(w):
-                lo = x * bpp
-                a = cur[lo - bpp : lo] if x else np.zeros(bpp, dtype=np.int32)
-                b = prev[lo : lo + bpp]
-                if mode == 3:
-                    cur[lo : lo + bpp] = (row[lo : lo + bpp] + (a + b) // 2) & 0xFF
-                else:
-                    c = (
-                        prev[lo - bpp : lo]
-                        if x
-                        else np.zeros(bpp, dtype=np.int32)
-                    )
-                    cur[lo : lo + bpp] = (
-                        row[lo : lo + bpp] + _paeth(a, b, c)
-                    ) & 0xFF
+            # -> sequential across the row. Plain-int list arithmetic:
+            # per-element numpy slicing paid ~2 us/px in boxing alone
+            # (the whole decode was 2.1 s at 512px, see BENCH/media.json)
+            rowl = row.tolist()
+            prevl = prev.tolist()
+            curl = [0] * stride
+            if mode == 3:
+                for i in range(stride):
+                    a = curl[i - bpp] if i >= bpp else 0
+                    # values are 0..255 so (a + b) // 2 == >> 1
+                    curl[i] = (rowl[i] + ((a + prevl[i]) >> 1)) & 0xFF
+            else:  # 4 Paeth
+                for i in range(stride):
+                    if i >= bpp:
+                        a, c = curl[i - bpp], prevl[i - bpp]
+                    else:
+                        a = c = 0
+                    b = prevl[i]
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    curl[i] = (rowl[i] + pred) & 0xFF
+            cur = np.array(curl, dtype=np.int32)
         out[y] = cur
         prev = cur
     rgb = out.astype(np.uint8).reshape(h, w, bpp)
