@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..barrier import barrier as barrier_fn
+from ..functions.colmemo import memo as _memo
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -133,33 +134,44 @@ def minhash_lsh_candidates(
     """
     rows = num_hashes // bands
     groups = (num_hashes + 3) // 4
-    hashed = docs.select(
-        F.col(id_col).alias("doc_id"),
-        *[
+    # construction memos (functions/colmemo): these fragments reference
+    # the input only by column name, so they are keyed by the plain
+    # parameters that shape them and rebuilt at most once per process
+    hcols = _memo(
+        ("minhash_hcols", id_col, text_col, shingle_n, groups),
+        lambda: [F.col(id_col).alias("doc_id")] + [
             F.transform(
                 word_shingles(F.col(text_col), shingle_n), _md5_salted_fn("#%d" % g)
             ).alias(f"_h{g}")
             for g in range(groups)
         ],
     )
-    sig = F.array(*[
-        F.array_min(F.transform(F.col(f"_h{k // 4}"), _slice_fn(k % 4)))
-        for k in range(num_hashes)
-    ])
+    hashed = docs.select(*hcols)
+    sig = _memo(
+        ("minhash_sig", num_hashes),
+        lambda: F.array(*[
+            F.array_min(F.transform(F.col(f"_h{k // 4}"), _slice_fn(k % 4)))
+            for k in range(num_hashes)
+        ]),
+    )
     # barrier: materialize the md5 pass before the sig minima / band
     # structs / null-filter reference it (else Catalyst inlines the
     # full hash pass ~6x — see barrier.py)
     hashed = barrier_fn(hashed)
     with_sig = barrier_fn(hashed.select("doc_id", sig.alias("sig"))).where(
-        ~F.exists(F.col("sig"), lambda x: x.isNull())
+        _memo(("minhash_nullcheck",),
+              lambda: ~F.exists(F.col("sig"), lambda x: x.isNull()))
     )
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"),
-        )
-        for b in range(bands)
-    ]
+    band_cols = _memo(
+        ("minhash_bands", bands, rows),
+        lambda: [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *[F.col("sig")[b * rows + r] for r in range(rows)]).alias("key"),
+            )
+            for b in range(bands)
+        ],
+    )
     banded = with_sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
@@ -174,16 +186,19 @@ def minhash_lsh_candidates(
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    a = F.col("ids")
-    pair_arrays = F.flatten(
-        F.transform(
-            a,
-            lambda x, i: F.transform(
-                F.slice(a, i + 2, F.greatest(F.size(a) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    def _build_pair_arrays():
+        a = F.col("ids")
+        return F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + 2, F.greatest(F.size(a) - i - 1, F.lit(0))),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
         )
-    )
+
+    pair_arrays = _memo(("minhash_pair_arrays",), _build_pair_arrays)
     return (
         buckets.select(F.explode(pair_arrays).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
@@ -244,14 +259,20 @@ def jaccard_pairs(
     # barrier: the shingle HOF tree feeds BOTH size() and explode();
     # Generate consumers get no expression CSE, so without forced
     # materialization the whole shingling pass is inlined twice
-    sh = barrier_fn(docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    sh = barrier_fn(docs.select(*_memo(
+        ("jaccard_sh_cols", id_col, text_col, shingle_n),
+        lambda: [
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        ],
+    )))
+    posting = sh.select(*_memo(
+        ("jaccard_posting_cols",),
+        lambda: [
+            F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
+            F.explode("shingles").alias("shingle"),
+        ],
     ))
-    posting = sh.select(
-        F.struct(F.col("doc_id"), F.size("shingles").alias("n_sh")).alias("m"),
-        F.explode("shingles").alias("shingle"),
-    )
     if max_df is not None:
         # the ONE posting shuffle; the window df-count and the bucket
         # groupBy both run on this partitioning with no further exchange
@@ -266,19 +287,22 @@ def jaccard_pairs(
         F.array_sort(F.collect_set("m")).alias("ms")
     )
     buckets = buckets.where(F.size("ms") > 1)
-    ms = F.col("ms")
-    pair_arrays = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id_a"), y["doc_id"].alias("id_b"),
-                    x["n_sh"].alias("n_sh_a"), y["n_sh"].alias("n_sh_b"),
+    def _build_pair_arrays():
+        ms = F.col("ms")
+        return F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.slice(ms, i + 2, F.greatest(F.size(ms) - i - 1, F.lit(0))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("id_a"), y["doc_id"].alias("id_b"),
+                        x["n_sh"].alias("n_sh_a"), y["n_sh"].alias("n_sh_b"),
+                    ),
                 ),
-            ),
+            )
         )
-    )
+
+    pair_arrays = _memo(("jaccard_pair_arrays",), _build_pair_arrays)
     inter = (
         buckets.select(F.explode(pair_arrays).alias("p"))
         .groupBy(

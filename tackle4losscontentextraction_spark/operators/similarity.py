@@ -24,14 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vectors as vec_fn
+from ..functions.colmemo import memo as _memo
 
 
 def _normalized(vectors: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return vectors.select(
-        F.col(id_col).cast("bigint").alias("vid"),
-        vec_fn.l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
-    )
+    return vectors.select(*_memo(
+        ("sim_normalized", id_col, vec_col),
+        lambda: [
+            F.col(id_col).cast("bigint").alias("vid"),
+            vec_fn.l2_normalize(F.col(vec_col).cast("array<double>")).alias("v"),
+        ],
+    ))
 
+
+
+def _cos_raw():
+    """qv·v — memoized (the aggregate/zip_with HOF chain costs ~30 py4j
+    round trips to build; the fragment is identical at every use)."""
+    return _memo(("sim_cos_raw",), lambda: vec_fn.dot(F.col("qv"), F.col("v")))
 
 def brute_force_topk(
     vectors: DataFrame, queries: DataFrame, k: int = 10,
@@ -46,7 +56,7 @@ def brute_force_topk(
     return (
         F.broadcast(q).crossJoin(normed)
         .where(F.col("qid") != F.col("vid"))
-        .withColumn("cos_raw", vec_fn.dot(F.col("qv"), F.col("v")))
+        .withColumn("cos_raw", _cos_raw())
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("neighbor"),
@@ -75,7 +85,7 @@ def _argmax_cell_arr(normed: DataFrame, cent_arr: DataFrame) -> DataFrame:
     Tie-break identical to a window ORDER BY (cos DESC, cell_id ASC)
     via lexicographic struct ordering (cosines are never NaN:
     zero-norm inputs produce 0.0 dot products)."""
-    best = F.array_min(
+    best = _memo(("sim_argmax_cell",), lambda: F.array_min(
         F.transform(
             F.col("_cells"),
             lambda c: F.struct(
@@ -83,7 +93,7 @@ def _argmax_cell_arr(normed: DataFrame, cent_arr: DataFrame) -> DataFrame:
                 c["cell_id"].alias("cell_id"),
             ),
         )
-    )
+    ))
     return normed.crossJoin(F.broadcast(cent_arr)).select(
         "vid", "v", best["cell_id"].alias("cell_id")
     )
@@ -174,7 +184,7 @@ def ivf_topk(
     q = _normalized(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv")
     )
-    probe_structs = F.slice(
+    probe_structs = _memo(("ivf_probe_structs", nprobe), lambda: F.slice(
         F.array_sort(
             F.transform(
                 F.col("_cells"),
@@ -185,7 +195,7 @@ def ivf_topk(
             )
         ),
         1, nprobe,
-    )
+    ))
     probes = (
         q.crossJoin(F.broadcast(cent_arr))
         .select("qid", "qv", F.explode(probe_structs).alias("p"))
@@ -200,7 +210,7 @@ def ivf_topk(
     return (
         F.broadcast(probes).join(cells, "cell_id")
         .where(F.col("qid") != F.col("vid"))
-        .withColumn("cos_raw", vec_fn.dot(F.col("qv"), F.col("v")))
+        .withColumn("cos_raw", _cos_raw())
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("neighbor"),
@@ -285,7 +295,7 @@ def lsh_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vid"))
     return (
-        cand.withColumn("cos_raw", vec_fn.dot(F.col("qv"), F.col("v")))
+        cand.withColumn("cos_raw", _cos_raw())
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("qid", F.col("vid").alias("neighbor"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens as tok_fn
 from ..functions import vectors as vec_fn
+from ..functions.colmemo import memo as _memo
 from ..operators import dedup as dedup_ops
 from ..operators import extraction
 from ..sources import synth
@@ -24,8 +25,30 @@ from ..sources import synth
 Query = Callable[[SparkSession, str], DataFrame]
 
 
+def _smemo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    """Per-SESSION memo for shared plan prefixes (base scans, the
+    docs/extracted lineage, label centroids). These are deterministic
+    pure functions of (session, sf_dir); what is stored is an immutable
+    UNEXECUTED DataFrame plan — never data, results, or anything
+    ``.cache()``-like: every query still scans the parquet inputs at
+    execution time. The memo exists because classic PySpark Datasets
+    are eagerly analyzed, so rebuilding an identical prefix on every
+    query invocation re-pays both the py4j construction chatter and the
+    JVM-side analysis of the same subtree (measured 0.4-0.7 s per build
+    for the extraction lineage). Keyed on the session object itself, so
+    a new session (or another sf_dir) never sees a stale frame."""
+    m = spark.__dict__.setdefault("_t4l_plan_memo", {})
+    got = m.get(key)
+    if got is None:
+        got = m[key] = build()
+    return got
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Base-table scan (session-memoized: ``read.parquet`` eagerly
+    resolves the schema — ~80 ms of py4j + footer reads per call)."""
+    return _smemo(spark, ("t", sf_dir, name),
+                  lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,13 +62,15 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return synth.docs_from_documents(_tp(spark, sf_dir, "documents"))
+    return _smemo(spark, ("docs", sf_dir),
+                  lambda: synth.docs_from_documents(_tp(spark, sf_dir, "documents")))
 
 
 def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the date format list for oracle parity (time spans are always
     # 'MMM d, yyyy' in the synthetic corpus)
-    return extraction.extract(_docs(spark, sf_dir), date_formats=["MMM d, yyyy"])
+    return _smemo(spark, ("extracted", sf_dir), lambda: extraction.extract(
+        _docs(spark, sf_dir), date_formats=["MMM d, yyyy"]))
 
 
 # ---------------------------------------------------------------------------
@@ -297,14 +322,17 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "embeddings")
-    normed = e.select(
-        F.col("vec_id").cast("bigint").alias("vid"),
-        vec_fn.l2_normalize(F.col("embedding").cast("array<double>")).alias("v"),
-    )
+    normed = e.select(*_memo(
+        ("q_ann_topk_normed",),
+        lambda: [
+            F.col("vec_id").cast("bigint").alias("vid"),
+            vec_fn.l2_normalize(F.col("embedding").cast("array<double>")).alias("v"),
+        ],
+    ))
     q = normed.where(F.col("vid") < 5).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv")
     )
-    sim = vec_fn.dot(F.col("qv"), F.col("v"))
+    sim = _memo(("q_ann_topk_sim",), lambda: vec_fn.dot(F.col("qv"), F.col("v")))
     w = Window.partitionBy("qid").orderBy(F.desc("cos_raw"), F.asc("vid"))
     return (
         F.broadcast(q).crossJoin(normed)
@@ -380,15 +408,24 @@ def q_centroid_means(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _label_centroids(e: DataFrame) -> DataFrame:
     return (
-        e.select(F.col("label").cast("bigint").alias("label"),
-                 F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"))
+        e.select(*_memo(("label_cent_explode",), lambda: [
+            F.col("label").cast("bigint").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")]))
         .groupBy("label", "pos")
         .agg(F.avg("val").alias("cv"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda p: p["cv"]).alias("centroid"))
+        .select("label", _memo(("label_cent_collect",), lambda: F.transform(
+            "pairs", lambda p: p["cv"]).alias("centroid")))
     )
 
+
+
+def _cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_centroids over the embeddings table — session-memoized
+    shared prefix (see _smemo): five queries derive from this subtree."""
+    return _smemo(spark, ("label_centroids", sf_dir),
+                  lambda: _label_centroids(_t(spark, sf_dir, "embeddings")))
 
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/O3: nearest-centroid assignment with the 0.82 threshold
@@ -401,20 +438,23 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical: cosine_similarity never yields NaN (zero-norm -> 0.0),
     so lexicographic struct-min == the window's rank-1 row."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e)
+    cents = _cents(spark, sf_dir)
     cent_arr = cents.agg(
         F.collect_list(F.struct(F.col("label"), F.col("centroid"))).alias("_cells")
     )
-    v = F.col("embedding").cast("array<double>")
-    best = F.array_min(
-        F.transform(
-            F.col("_cells"),
-            lambda c: F.struct(
-                (-vec_fn.cosine_similarity(v, c["centroid"])).alias("neg_cs"),
-                c["label"].alias("label"),
-            ),
+    def _build_best():
+        v = F.col("embedding").cast("array<double>")
+        return F.array_min(
+            F.transform(
+                F.col("_cells"),
+                lambda c: F.struct(
+                    (-vec_fn.cosine_similarity(v, c["centroid"])).alias("neg_cs"),
+                    c["label"].alias("label"),
+                ),
+            )
         )
-    )
+
+    best = _memo(("q_cluster_assign_best",), _build_best)
     scored = (
         e.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent_arr))
@@ -437,7 +477,7 @@ def q_cluster_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: all-pairs centroid similarity (merge candidates > 0.9 would
     be merged; emit all pairs with the flag so the set is non-trivial)."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e)
+    cents = _cents(spark, sf_dir)
     a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
     sim = vec_fn.cosine_similarity(F.col("ca"), F.col("cb"))
@@ -708,10 +748,10 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e).select(
+    cents = _cents(spark, sf_dir).select(*_memo(("ivf_cents_norm",), lambda: [
         F.col("label").alias("cell_id"),
         vec_fn.l2_normalize(F.col("centroid")).alias("centroid"),
-    )
+    ]))
     queries_df = e.where(F.col("vec_id") < 5)
     return similarity.ivf_topk(e, queries_df, cents, k=5, nprobe=2)
 
@@ -786,7 +826,7 @@ def q_zero_centroid_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import clustering
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e)
+    cents = _cents(spark, sf_dir)
     clusters = cents.select(
         F.col("label").alias("cluster_id"),
         F.when(F.col("label") % 3 == 0, F.transform("centroid", lambda _: F.lit(0.0)))
@@ -859,7 +899,7 @@ def q_running_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: greedy-assign running-mean update (cluster_manager.py:81):
     each vector folded into its label centroid at member_count=5."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = _label_centroids(e)
+    cents = _cents(spark, sf_dir)
     joined = e.join(F.broadcast(cents), e.label == cents.label)
     nm = vec_fn.running_mean_update(
         F.col("centroid"), F.col("embedding").cast("array<double>"), F.lit(5)
