@@ -4,12 +4,7 @@ stable schema, and every queries() entry has its oracle_sql() twin
 
 from __future__ import annotations
 
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import __spark_entry__ as entrymod
+import __spark_entry__ as entrymod  # repo root on sys.path via conftest
 
 
 def test_queries_and_oracles_agree():

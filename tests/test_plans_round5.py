@@ -13,13 +13,7 @@ from __future__ import annotations
 
 import pytest
 
-SF = "/root/testdata/sf0.001"
-
-
-def _final_plan(df) -> str:
-    df.collect()  # let AQE finalize the executed plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.split("== Initial Plan ==")[0]
+from planutil import SF, final_plan as _final_plan  # noqa: F401 (shared helper, ADVICE r5)
 
 
 def _q(spark, name):
@@ -66,7 +60,7 @@ def test_minhash_keeps_designed_shuffle_count(spark):
     third exchange means the posting self-join crept back in."""
     final = _final_plan(_q(spark, "dedup_minhash"))
     assert final.count("FileScan") == 1, "signatures derived twice"
-    assert final.count("Exchange hashpartitioning") == 2
+    assert final.count("Exchange hashpartitioning") == 2  # exact count pinned against Spark 4.1.2; on a Spark upgrade a spurious failure here means re-audit, not a regression
     assert "Join" not in final
     assert "CartesianProduct" not in final
 
@@ -76,7 +70,7 @@ def test_salted_aggregate_is_two_phase(spark):
     exchanges over one scan; no join anywhere."""
     final = _final_plan(_q(spark, "domain_counts_salted"))
     assert final.count("FileScan") == 1
-    assert final.count("Exchange hashpartitioning") == 2
+    assert final.count("Exchange hashpartitioning") == 2  # exact count pinned against Spark 4.1.2; on a Spark upgrade a spurious failure here means re-audit, not a regression
     assert "Join" not in final
 
 

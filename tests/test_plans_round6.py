@@ -7,13 +7,7 @@ exact-count pins — these use presence/absence, not counts).
 
 from __future__ import annotations
 
-SF = "/root/testdata/sf0.001"
-
-
-def _final_plan(df) -> str:
-    df.collect()  # let AQE finalize the executed plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.split("== Initial Plan ==")[0]
+from planutil import SF, final_plan as _final_plan  # noqa: F401 (shared helper, ADVICE r5)
 
 
 def _q(spark, name):
